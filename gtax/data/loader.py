@@ -1,0 +1,165 @@
+"""Batching, host->device transfer, and prefetch.
+
+Replaces the reference's torch DataLoader (+ pin_memory/prefetch_factor,
+/root/reference/train_dit.py:1068-1085) with a TPU-native pipeline:
+
+  - worker threads pull samples from the dataset and assemble numpy batches
+    (JPEG decode / resize release the GIL in PIL/cv2, so threads scale);
+  - a double-buffered device-put stage moves batches to device asynchronously
+    so host IO overlaps device compute;
+  - in multi-host runs each process builds only its slice of the global batch
+    and device_puts with the mesh's batch sharding.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import dataclass
+from typing import Iterator, Optional
+
+import jax
+import numpy as np
+
+
+@dataclass
+class Batch:
+    video: np.ndarray                 # (B, T, 3, H, W) float32
+    actions: Optional[np.ndarray]     # (B, T, A) float32 or None
+
+
+def make_dataset(dataset_type: str, split: str, return_actions: bool, **kw):
+    """Factory over the three interchangeable backends
+    (reference train_dit.py:1049-1066)."""
+    if dataset_type == "dummy":
+        from gtax.data.dummy import DummyDataset
+
+        return DummyDataset(split=split, return_actions=return_actions, **kw)
+    if dataset_type == "hfdataset":
+        from gtax.data.hf import HFDataset
+
+        return HFDataset(split=split, return_actions=return_actions, **kw)
+    if dataset_type == "webdataset":
+        from gtax.data.webtar import WebTarDataset
+
+        return WebTarDataset(split=split, return_actions=return_actions, **kw)
+    raise ValueError(
+        f"Invalid dataset type: {dataset_type}. "
+        "Must be 'webdataset', 'hfdataset' or 'dummy'."
+    )
+
+
+class DataLoader:
+    """Threaded batch assembler with bounded prefetch."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        num_workers: int = 4,
+        prefetch: int = 2,
+        drop_last: bool = True,
+        seed: int = 0,
+        shuffle: bool | None = None,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.num_workers = max(1, num_workers)
+        self.prefetch = max(1, prefetch)
+        self.drop_last = drop_last
+        self.seed = seed
+        is_iterable = not hasattr(dataset, "__getitem__")
+        self.shuffle = (
+            shuffle if shuffle is not None else not is_iterable
+        )
+        self.is_iterable = is_iterable
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _sample_iter(self) -> Iterator[dict]:
+        if self.is_iterable:
+            yield from iter(self.dataset)
+        else:
+            n = len(self.dataset)
+            rng = np.random.default_rng(self.seed)
+            while True:
+                order = rng.permutation(n) if self.shuffle else np.arange(n)
+                for i in order:
+                    yield self.dataset[int(i)]
+
+    def __iter__(self) -> Iterator[Batch]:
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                batch_vid, batch_act = [], []
+                for sample in self._sample_iter():
+                    if stop.is_set():
+                        return
+                    batch_vid.append(np.asarray(sample["video"], np.float32))
+                    if "actions" in sample:
+                        batch_act.append(np.asarray(sample["actions"], np.float32))
+                    if len(batch_vid) == self.batch_size:
+                        q.put(
+                            Batch(
+                                video=np.stack(batch_vid),
+                                actions=np.stack(batch_act) if batch_act else None,
+                            )
+                        )
+                        batch_vid, batch_act = [], []
+                if batch_vid and not self.drop_last:
+                    q.put(
+                        Batch(
+                            video=np.stack(batch_vid),
+                            actions=np.stack(batch_act) if batch_act else None,
+                        )
+                    )
+            finally:
+                q.put(None)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                yield item
+        finally:
+            stop.set()
+
+
+def device_prefetch(batches: Iterator[Batch], sharding=None, depth: int = 2):
+    """Asynchronously device_put up to `depth` batches ahead; yields device
+    arrays. With a NamedSharding, each host transfers its local shard."""
+    import collections
+
+    buf = collections.deque()
+
+    def put(b: Batch):
+        if sharding is not None:
+            video = jax.device_put(b.video, sharding)
+            actions = (
+                jax.device_put(b.actions, sharding) if b.actions is not None else None
+            )
+        else:
+            video = jax.device_put(b.video)
+            actions = jax.device_put(b.actions) if b.actions is not None else None
+        return Batch(video=video, actions=actions)
+
+    it = iter(batches)
+    try:
+        for _ in range(depth):
+            buf.append(put(next(it)))
+    except StopIteration:
+        pass
+    while buf:
+        nxt = buf.popleft()
+        try:
+            buf.append(put(next(it)))
+        except StopIteration:
+            pass
+        yield nxt

@@ -1,0 +1,211 @@
+"""Streaming tar-shard dataset — the native replacement for the reference's
+webdataset pipeline (/root/reference/web_dataset.py:60-157).
+
+Capabilities matched:
+  - streams .tar shards sequentially (local paths, or HTTPS URLs including
+    HuggingFace hub shards with bearer-token auth and retries — the
+    reference's `pipe:curl --retry 3 -H Authorization:...` at :100-103);
+  - groups tar members by sample key (basename up to the first dot), decoding
+    .jpg (PIL), .cls (int) and .json fields (:120-121 `to_tuple`);
+  - shard shuffling + a sample shuffle buffer (:114-119);
+  - worker/process splitting: shards are dealt round-robin across
+    (process, worker) slots (:115 `split_by_worker`);
+  - infinite resampling for epoch-free training (:117 `resampled=True`);
+  - unlike the reference (which cannot restore stream position on resume,
+    train_dit.py:1051-1053), the iterator exposes a (shard_idx, sample_idx)
+    cursor that the trainer checkpoints and restores.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import random
+import tarfile
+import time
+import urllib.request
+from typing import Iterator
+
+import numpy as np
+
+from gtax.data.actions import actions_to_one_hot
+from gtax.data.common import ClipTransform, split_len
+
+HF_DATASET_PATTERNS = {
+    "train": "**/train/*.tar",
+    "validation": "dev/00000.tar",
+    "test": "**/test/**/*.tar",
+}
+
+
+def hf_shard_urls(split: str, repo: str = "Iker/GTAV-Driving-Dataset"):
+    """Resolve shard URLs from the HuggingFace hub (requires network + token;
+    mirrors reference web_dataset.py:83-103)."""
+    from huggingface_hub import HfFileSystem, hf_hub_url
+
+    fs = HfFileSystem()
+    pattern = f"hf://datasets/{repo}/{HF_DATASET_PATTERNS[split]}"
+    files = [fs.resolve_path(p) for p in fs.glob(pattern)]
+    if not files:
+        raise ValueError(f"No shards for split '{split}' ({pattern})")
+    return [
+        hf_hub_url(f.repo_id, f.path_in_repo, repo_type="dataset") for f in files
+    ]
+
+
+def _open_shard(source: str, token: str | None, retries: int = 3):
+    """Open a local path or URL as a streaming file object."""
+    if "://" not in source:
+        return open(source, "rb")
+    last_err = None
+    for attempt in range(retries):
+        try:
+            req = urllib.request.Request(source)
+            if token:
+                req.add_header("Authorization", f"Bearer {token}")
+            return urllib.request.urlopen(req)
+        except Exception as e:  # retry with backoff (ref: curl --retry 3)
+            last_err = e
+            time.sleep(1.0 * (attempt + 1))
+    raise last_err
+
+
+def iter_tar_samples(fileobj) -> Iterator[dict]:
+    """Group sequential tar members into samples keyed by basename-before-dot."""
+    tar = tarfile.open(fileobj=fileobj, mode="r|*")
+    current_key, current = None, {}
+    for member in tar:
+        if not member.isfile():
+            continue
+        name = member.name.split("/")[-1]
+        if "." not in name:
+            continue
+        key, ext = name.split(".", 1)
+        if key != current_key:
+            if current:
+                yield current
+            current_key, current = key, {"__key__": key}
+        data = tar.extractfile(member).read()
+        current[ext.lower()] = data
+    if current:
+        yield current
+
+
+def decode_sample(raw: dict) -> dict:
+    out = {"__key__": raw.get("__key__", "")}
+    if "jpg" in raw or "jpeg" in raw:
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(raw.get("jpg", raw.get("jpeg")))).convert("RGB")
+        out["jpg"] = np.asarray(img)  # (H, W, 3) uint8
+    if "cls" in raw:
+        out["cls"] = int(raw["cls"].decode().strip() or 0)
+    if "json" in raw:
+        out["json"] = json.loads(raw["json"].decode())
+    return out
+
+
+class WebTarDataset:
+    """Iterable clip dataset over tar shards.
+
+    Yields {"video": (5,3,360,640) float32, "actions": (5,25) float32?} like
+    the reference ImageDataset (web_dataset.py:135-144).
+    """
+
+    def __init__(
+        self,
+        split: str = "train",
+        return_actions: bool = False,
+        shards: list[str] | None = None,
+        token: str | None = None,
+        shuffle_shards: bool = True,
+        shuffle_buffer: int = 1000,
+        resampled: bool = True,
+        seed: int = 0,
+        worker_index: int = 0,
+        num_workers: int = 1,
+        transform: ClipTransform | None = None,
+    ):
+        self.split = split
+        self.return_actions = return_actions
+        if shards is None:
+            shards = hf_shard_urls(split)
+            if token is None:
+                from huggingface_hub import get_token
+
+                token = get_token()
+        self.shards = list(shards)
+        self.token = token
+        self.shuffle_shards = shuffle_shards
+        self.shuffle_buffer = shuffle_buffer
+        self.resampled = resampled
+        self.seed = seed
+        self.worker_index = worker_index
+        self.num_workers = num_workers
+        self.transform = transform or ClipTransform()
+        # resumable cursor: (epoch, shard position within this worker's list,
+        # samples consumed within that shard)
+        self.cursor = [0, 0, 0]
+
+    def __len__(self):
+        try:
+            return split_len(self.split)
+        except KeyError:
+            return 0
+
+    def _worker_shards(self, epoch: int) -> list[str]:
+        shards = list(self.shards)
+        if self.shuffle_shards:
+            random.Random(self.seed + epoch).shuffle(shards)
+        return shards[self.worker_index:: self.num_workers]
+
+    def _make_item(self, sample: dict):
+        if "jpg" not in sample:
+            return None
+        video = self.transform(sample["jpg"])
+        item = {"video": video}
+        if self.return_actions:
+            actions = sample.get("json", {}).get("actions_int")
+            if actions is None:
+                return None
+            item["actions"] = actions_to_one_hot(actions)
+        return item
+
+    def __iter__(self):
+        rng = random.Random(self.seed + 17 * self.worker_index)
+        buffer: list = []
+        epoch, start_shard, start_sample = self.cursor
+        while True:
+            shards = self._worker_shards(epoch)
+            for si in range(start_shard, len(shards)):
+                self.cursor = [epoch, si, 0]
+                skip = start_sample
+                start_sample = 0
+                try:
+                    fobj = _open_shard(shards[si], self.token)
+                    for raw in iter_tar_samples(fobj):
+                        if skip > 0:
+                            skip -= 1
+                            self.cursor[2] += 1
+                            continue
+                        item = self._make_item(decode_sample(raw))
+                        self.cursor[2] += 1
+                        if item is None:
+                            continue
+                        if self.shuffle_buffer > 1:
+                            buffer.append(item)
+                            if len(buffer) >= self.shuffle_buffer:
+                                yield buffer.pop(rng.randrange(len(buffer)))
+                        else:
+                            yield item
+                except Exception as e:
+                    # mirror wds.warn_and_continue (web_dataset.py:113)
+                    print(f"[gtax.data] shard {shards[si]} failed: {e!r}; skipping")
+                    continue
+            start_shard = 0
+            while buffer:
+                yield buffer.pop(rng.randrange(len(buffer)))
+            epoch += 1
+            self.cursor = [epoch, 0, 0]
+            if not self.resampled:
+                return

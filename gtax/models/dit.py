@@ -1,0 +1,261 @@
+"""Spatiotemporal DiT latent video denoiser.
+
+Parity target: /root/reference/model/dit.py (DiT, SpatioTemporalDiTBlock,
+FinalLayer, DiT_S_2 factory at :379-389). Same math, TPU-native shape:
+
+  - patchify is a reshaped GEMM (gtax.nn.layers.patchify_embed), not a conv;
+  - the `depth` transformer blocks are stacked on a leading axis and executed
+    with one `lax.scan`, so XLA compiles a single block body regardless of
+    depth (faster compiles, identical numerics);
+  - temporal attention takes a per-slot validity mask so a fixed
+    `max_frames`-slot window serves growing-context rollouts under one
+    compiled shape.
+
+Parameter tree (all float32; Linear kernels are (in, out)):
+  patch_embed {kernel,bias}
+  t_embedder  {fc1{kernel,bias}, fc2{kernel,bias}}
+  external_cond {kernel,bias}               (present iff external_cond_dim>0;
+                                             the shipped no-action checkpoint
+                                             still carries it, ref dit.py:388)
+  spatial_rope_freqs  (head_dim//4,)        pixel freqs (saved in torch ckpts
+  temporal_rope_freqs (head_dim//2,)         as nn.Parameters)
+  blocks: each leaf has leading dim `depth`:
+    {s,t}_adaln {kernel,bias}   (D -> 6D)
+    {s,t}_attn  {qkv{kernel}, out{kernel,bias}}
+    {s,t}_mlp   {fc1{kernel,bias}, fc2{kernel,bias}}
+  final {adaln{kernel,bias}, linear{kernel,bias}}
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from gtax.core import rope
+from gtax.nn import attention as attn
+from gtax.nn.layers import (
+    adaln,
+    gate,
+    gelu_tanh,
+    layer_norm,
+    linear,
+    mlp,
+    modulate,
+    patchify_embed,
+    timestep_embedder,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class DiTConfig:
+    input_h: int = 18
+    input_w: int = 32
+    patch_size: int = 2
+    in_channels: int = 16
+    hidden_size: int = 1024
+    depth: int = 16
+    num_heads: int = 16
+    mlp_ratio: float = 4.0
+    external_cond_dim: int = 25
+    max_frames: int = 5
+
+    @property
+    def grid_h(self) -> int:
+        return self.input_h // self.patch_size
+
+    @property
+    def grid_w(self) -> int:
+        return self.input_w // self.patch_size
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    @property
+    def mlp_hidden(self) -> int:
+        return int(self.hidden_size * self.mlp_ratio)
+
+    def param_count(self) -> int:
+        return sum(
+            x.size for x in jax.tree.leaves(dit_init(jax.random.PRNGKey(0), self))
+        )
+
+
+def _normal(key, shape, std):
+    return jax.random.normal(key, shape, dtype=jnp.float32) * std
+
+
+def dit_init(key, cfg: DiTConfig):
+    """Initialise DiT params, matching reference initialize_weights
+    (model/dit.py:295-326): linears normal(0.02)/zero-bias, t_embedder
+    normal(0.01), adaLN heads zero, final adaLN normal(0.01), final linear
+    normal(0.001)."""
+    D, L = cfg.hidden_size, cfg.depth
+    H6, H4 = 6 * D, cfg.mlp_hidden
+    p, C = cfg.patch_size, cfg.in_channels
+    keys = iter(jax.random.split(key, 64))
+
+    def lin(k, din, dout, std=0.02, bias=True):
+        prm = {"kernel": _normal(k, (din, dout), std)}
+        if bias:
+            prm["bias"] = jnp.zeros((dout,), jnp.float32)
+        return prm
+
+    def stack(fn):
+        ks = jax.random.split(next(keys), L)
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *[fn(k) for k in ks])
+
+    params = {
+        "patch_embed": lin(next(keys), C * p * p, D),
+        "t_embedder": {
+            "fc1": lin(next(keys), 256, D, std=0.01),
+            "fc2": lin(next(keys), D, D, std=0.01),
+        },
+        "spatial_rope_freqs": rope.pixel_freqs(cfg.head_dim // 4, max_freq=256.0),
+        "temporal_rope_freqs": rope.lang_freqs(cfg.head_dim),
+        "blocks": stack(
+            lambda k: _block_init(k, D, H4, H6)
+        ),
+        "final": {
+            "adaln": lin(next(keys), D, 2 * D, std=0.01),
+            "linear": lin(next(keys), D, p * p * C, std=0.001),
+        },
+    }
+    if cfg.external_cond_dim > 0:
+        params["external_cond"] = lin(next(keys), cfg.external_cond_dim, D)
+    return params
+
+
+def _block_init(key, D, H4, H6):
+    ks = iter(jax.random.split(key, 16))
+
+    def lin(din, dout, std=0.02, bias=True, zero=False):
+        k = next(ks)
+        w = jnp.zeros((din, dout), jnp.float32) if zero else _normal(k, (din, dout), std)
+        prm = {"kernel": w}
+        if bias:
+            prm["bias"] = jnp.zeros((dout,), jnp.float32)
+        return prm
+
+    def branch():
+        return {
+            "adaln": lin(D, H6, zero=True),
+            "attn": {"qkv": lin(D, 3 * D, bias=False), "out": lin(D, D)},
+            "mlp": {"fc1": lin(D, H4), "fc2": lin(H4, D)},
+        }
+
+    s, t = branch(), branch()
+    return {
+        "s_adaln": s["adaln"],
+        "s_attn": s["attn"],
+        "s_mlp": s["mlp"],
+        "t_adaln": t["adaln"],
+        "t_attn": t["attn"],
+        "t_mlp": t["mlp"],
+    }
+
+
+def _block_apply(x, c, bp, spatial_freqs, temporal_freqs, num_heads, valid, dtype):
+    """One SpatioTemporalDiTBlock (reference model/dit.py:200-225)."""
+    sh1, sc1, g1, sh2, sc2, g2 = adaln(bp["s_adaln"], c, 6, dtype)
+    x = x + gate(
+        attn.spatial_axial_attention(
+            bp["s_attn"], modulate(layer_norm(x), sh1, sc1), spatial_freqs,
+            num_heads, dtype,
+        ),
+        g1,
+    )
+    x = x + gate(mlp(bp["s_mlp"], modulate(layer_norm(x), sh2, sc2), gelu_tanh, dtype), g2)
+
+    th1, tc1, tg1, th2, tc2, tg2 = adaln(bp["t_adaln"], c, 6, dtype)
+    x = x + gate(
+        attn.temporal_axial_attention(
+            bp["t_attn"], modulate(layer_norm(x), th1, tc1), temporal_freqs,
+            num_heads, valid, dtype,
+        ),
+        tg1,
+    )
+    x = x + gate(mlp(bp["t_mlp"], modulate(layer_norm(x), th2, tc2), gelu_tanh, dtype), tg2)
+    return x
+
+
+def dit_apply(
+    params,
+    cfg: DiTConfig,
+    x,
+    t,
+    external_cond=None,
+    valid=None,
+    compute_dtype=jnp.bfloat16,
+):
+    """DiT forward pass (reference model/dit.py:343-376).
+
+    x: (B, T, C, H, W) latents; t: (B, T) integer noise levels;
+    external_cond: optional (B, T, action_dim) one-hot actions;
+    valid: optional (T,) or (B, T) bool mask of real (non-padding) frames.
+    Returns v-prediction of x's shape, float32.
+    """
+    B, T, C, H, W = x.shape
+    gh, gw = cfg.grid_h, cfg.grid_w
+
+    h = patchify_embed(
+        params["patch_embed"],
+        x.reshape(B * T, C, H, W),
+        cfg.patch_size,
+        compute_dtype,
+    ).reshape(B, T, gh, gw, cfg.hidden_size)
+
+    c = timestep_embedder(
+        params["t_embedder"], t.reshape(B * T), compute_dtype=compute_dtype
+    ).reshape(B, T, cfg.hidden_size)
+    if external_cond is not None:
+        c = c + linear(params["external_cond"], external_cond, compute_dtype)
+
+    spatial_freqs = rope.axial_freqs(
+        params["spatial_rope_freqs"], (gh, gw), pixel=True
+    )
+    temporal_freqs = rope.temporal_rope_freqs(
+        jnp.arange(T), params["temporal_rope_freqs"]
+    )
+
+    def body(carry, bp):
+        return (
+            _block_apply(
+                carry, c, bp, spatial_freqs, temporal_freqs, cfg.num_heads,
+                valid, compute_dtype,
+            ),
+            None,
+        )
+
+    h, _ = jax.lax.scan(body, h, params["blocks"])
+
+    shift, scale = adaln(params["final"]["adaln"], c, 2, compute_dtype)
+    h = modulate(layer_norm(h), shift, scale)
+    h = linear(params["final"]["linear"], h, compute_dtype)
+
+    # unpatchify: feature ordering (ph, pw, channel), reference dit.py:328-341
+    p = cfg.patch_size
+    h = h.reshape(B, T, gh, gw, p, p, C)
+    h = h.transpose(0, 1, 6, 2, 4, 3, 5)  # (B,T,C,gh,p,gw,p)
+    return h.reshape(B, T, C, gh * p, gw * p).astype(jnp.float32)
+
+
+def DiT_S_2() -> DiTConfig:
+    """Flagship config — ~0.67B params (reference model/dit.py:379-389).
+    external_cond_dim stays 25 even for the action-free model, matching the
+    shipped checkpoints (ref quirk at dit.py:388)."""
+    return DiTConfig(
+        input_h=18,
+        input_w=32,
+        patch_size=2,
+        hidden_size=1024,
+        depth=16,
+        num_heads=16,
+        max_frames=5,
+        external_cond_dim=25,
+    )
+
+
+DiT_MODELS = {"DiT-S/2": DiT_S_2}

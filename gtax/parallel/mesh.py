@@ -1,0 +1,118 @@
+"""Device mesh and sharding rules.
+
+The reference's only parallelism is DDP data-parallel over NCCL via
+HF Accelerate (/root/reference/train_dit.py:182-188; gradient all-reduce
+implicit in accelerator.backward at :680). The TPU-native equivalent is a
+`jax.sharding.Mesh` with jit-partitioned train steps: the batch is sharded
+over the 'data' axis, parameters are replicated (or sharded over 'model' for
+tensor parallelism), and XLA inserts the psum/all-gather collectives over ICI.
+
+Axes:
+  data  — batch sharding (DP). Gradients are reduced over this axis by XLA.
+  model — optional tensor parallelism: qkv/MLP hidden dims of the stacked DiT
+          blocks are sharded over it. Not needed at 0.6B params on one slice,
+          but the mesh is designed so scaling up is a config change, not a
+          rewrite (SURVEY.md §2.2).
+
+Multi-host: `initialize_distributed()` wraps jax.distributed.initialize; each
+process feeds only its local shard of the global batch
+(`process_batch_slice`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    data: int = -1   # -1: all remaining devices
+    model: int = 1
+
+    def resolve(self, n_devices: int) -> tuple[int, int]:
+        model = max(1, self.model)
+        data = self.data if self.data > 0 else n_devices // model
+        assert data * model == n_devices, (
+            f"mesh {data}x{model} != {n_devices} devices"
+        )
+        return data, model
+
+
+def make_mesh(cfg: MeshConfig | None = None, devices=None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    cfg = cfg or MeshConfig()
+    data, model = cfg.resolve(len(devices))
+    dev_array = np.asarray(devices).reshape(data, model)
+    return Mesh(dev_array, axis_names=("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (batch) dim sharded over 'data'."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def _dit_param_spec(path: tuple[str, ...], ndim: int) -> P:
+    """Tensor-parallel sharding rules for DiT params.
+
+    Stacked block kernels are (L, in, out): shard the sliced dimension over
+    'model' — qkv/fc1/adaln on the output dim, out/fc2 on the input dim, so a
+    block needs exactly one reduce-scatter-equivalent psum per pair.
+    """
+    names = set(path)
+    if "blocks" not in names:
+        return P()
+    col = {"qkv", "fc1", "s_adaln", "t_adaln", "adaln"}
+    row = {"out", "fc2"}
+    if "kernel" in names and ndim == 3:
+        if names & col:
+            return P(None, None, "model")
+        if names & row:
+            return P(None, "model", None)
+    if "bias" in names and ndim == 2 and names & col:
+        return P(None, "model")
+    return P()
+
+
+def param_sharding(mesh: Mesh, params, rules=_dit_param_spec):
+    """NamedSharding pytree for a param tree. With mesh model=1 everything is
+    effectively replicated; with model>1 the DiT block interiors shard."""
+
+    def spec_for(path, leaf):
+        keys = tuple(
+            p.key if hasattr(p, "key") else str(p) for p in path
+        )
+        spec = rules(keys, leaf.ndim)
+        if mesh.shape["model"] == 1:
+            # avoid uneven-shard pitfalls when TP is off
+            spec = P()
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def initialize_distributed(coordinator_address=None, num_processes=None,
+                           process_id=None):
+    """Multi-host init (TPU pods). No-op when running single-process."""
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def process_batch_slice(global_batch: int) -> slice:
+    """The half-open range of the global batch owned by this host process."""
+    n = jax.process_count()
+    per = global_batch // n
+    i = jax.process_index()
+    return slice(i * per, (i + 1) * per)

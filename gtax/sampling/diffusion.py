@@ -1,0 +1,299 @@
+"""Diffusion-forcing sampler and training loss.
+
+Parity targets:
+  - denoise_step            /root/reference/train_dit.py:30-125
+  - rollout loop            /root/reference/generate.py:200-235,
+                            train_dit.py predict() :371-464
+  - renoise eval            train_dit.py predict_noise() :466-552
+  - diffusion-forcing loss  train_dit.py _shared_step() :554-682
+
+TPU-native design: the reference's Python loops (outer over frames, inner over
+noise steps) become nested `lax.scan`s over a FIXED `max_frames`-slot window.
+Growing contexts (n_prompt_frames < max_frames-1) are handled by left-padding
+the window and masking padded slots out of temporal attention — RoPE is
+relative, so the valid frames see identical attention to the reference's
+variable-length crop (verified against golden fixtures). One compiled shape
+therefore serves the entire autoregressive rollout, and the whole
+(frames x noise-steps) loop nest runs on-device with no host round-trips.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from gtax.core import schedules
+from gtax.core.constants import MAX_NOISE_LEVEL, NOISE_ABS_MAX
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplerConfig:
+    ddim_noise_steps: int = 100
+    stabilization_level: int = 15
+    noise_abs_max: float = NOISE_ABS_MAX
+    max_noise_level: int = MAX_NOISE_LEVEL
+    schedule_clamp_min: float = 1e-4  # generate.py default; trainer uses 1e-6
+
+    def tables(self):
+        betas = schedules.sigmoid_beta_schedule(
+            self.max_noise_level, clamp_min=self.schedule_clamp_min
+        )
+        abar = schedules.alphas_cumprod_from_betas(betas)
+        noise_range = schedules.ddim_noise_range(
+            self.ddim_noise_steps, self.max_noise_level
+        )
+        return abar, noise_range
+
+
+def _expand(a):
+    """(B, T) -> (B, T, 1, 1, 1) for broadcasting against latents."""
+    return a[:, :, None, None, None]
+
+
+def denoise_step(
+    dit_fn,
+    x,
+    actions,
+    valid,
+    noise_idx,
+    stabilization_level,
+    noise_range,
+    alphas_cumprod,
+):
+    """One DDIM-style v-prediction update of the window's last frame.
+
+    x: (B, T, C, H, W) float32 window (context frames clean, last frame at
+    noise level noise_range[noise_idx]); actions: (B, T, A) or None;
+    valid: (T,) or (B, T) bool or None; noise_idx: int32 scalar (traced).
+    Returns (x_pred, v_pred) — caller commits x_pred[:, -1:] only, exactly as
+    the reference does (generate.py:220).
+    """
+    B, T = x.shape[:2]
+    curr = noise_range[noise_idx]
+    nxt = noise_range[jnp.maximum(noise_idx - 1, 0)]
+    t_ctx = jnp.full((B, T - 1), stabilization_level, jnp.int32)
+    t = jnp.concatenate([t_ctx, jnp.full((B, 1), curr, jnp.int32)], axis=1)
+    t_next = jnp.concatenate([t_ctx, jnp.full((B, 1), nxt, jnp.int32)], axis=1)
+
+    v = dit_fn(x, t, actions, valid).astype(jnp.float32)
+
+    x32 = x.astype(jnp.float32)
+    alpha = _expand(alphas_cumprod[t])
+    x_start = jnp.sqrt(alpha) * x32 - jnp.sqrt(1.0 - alpha) * v
+    x_noise = (jnp.sqrt(1.0 / alpha) * x32 - x_start) / jnp.sqrt(1.0 / alpha - 1.0)
+
+    alpha_next = _expand(alphas_cumprod[t_next])
+    alpha_next = jnp.concatenate(
+        [jnp.ones_like(alpha_next[:, :-1]), alpha_next[:, -1:]], axis=1
+    )
+    x_pred = jnp.sqrt(alpha_next) * x_start + jnp.sqrt(1.0 - alpha_next) * x_noise
+    x_out = jnp.where(noise_idx <= 0, x_start, x_pred)
+    return x_out, v
+
+
+def denoise_window(
+    dit_fn, x, actions, valid, cfg: SamplerConfig, alphas_cumprod, noise_range
+):
+    """Run the full reversed noise-step scan on one window; returns the window
+    with its last frame fully denoised (reference generate.py:206-220)."""
+
+    def body(carry, noise_idx):
+        x_pred, _ = denoise_step(
+            dit_fn, carry, actions, valid, noise_idx,
+            cfg.stabilization_level, noise_range, alphas_cumprod,
+        )
+        carry = jnp.concatenate([carry[:, :-1], x_pred[:, -1:]], axis=1)
+        return carry, None
+
+    idxs = jnp.arange(cfg.ddim_noise_steps, -1, -1)
+    x, _ = jax.lax.scan(body, x, idxs)
+    return x
+
+
+def make_rollout(dit_fn, max_frames: int, cfg: SamplerConfig):
+    """Build a jittable autoregressive rollout.
+
+    dit_fn(x, t, actions, valid) -> v — a closure over DiT params/config.
+    Returns rollout(prompt_latents, actions, rng) -> (B, total, C, H, W)
+    latents where total = n_prompt + num_gen_frames. `num_gen_frames` is a
+    static argument of the returned function.
+
+    The reference equivalent is the frame loop at generate.py:200-235; here it
+    is a lax.scan whose carry is the (max_frames-1)-slot context buffer.
+    """
+    abar, noise_range = cfg.tables()
+    W = max_frames
+
+    @partial(jax.jit, static_argnames=("num_gen_frames",))
+    def rollout(prompt_latents, actions, rng, num_gen_frames: int):
+        B, n_prompt, C, H, Wd = prompt_latents.shape
+        assert n_prompt >= 1
+        # context buffer: last W-1 frames, left-padded with zeros
+        n_ctx = min(n_prompt, W - 1)
+        ctx = prompt_latents[:, n_prompt - n_ctx:]
+        if n_ctx < W - 1:
+            pad = jnp.zeros((B, W - 1 - n_ctx, C, H, Wd), prompt_latents.dtype)
+            ctx = jnp.concatenate([pad, ctx], axis=1)
+
+        if actions is not None:
+            # actions: (B, total, A); front-pad W-1 so window slice is static-size
+            A = actions.shape[-1]
+            actions_padded = jnp.concatenate(
+                [jnp.zeros((B, W - 1, A), actions.dtype), actions], axis=1
+            )
+        else:
+            actions_padded = None
+
+        def step(carry, s):
+            ctx_buf, key = carry
+            i = n_prompt + s  # absolute index of the frame being generated
+            key, sub = jax.random.split(key)
+            noise = jnp.clip(
+                jax.random.normal(sub, (B, 1, C, H, Wd), jnp.float32),
+                -cfg.noise_abs_max,
+                cfg.noise_abs_max,
+            )
+            window = jnp.concatenate([ctx_buf, noise], axis=1)  # (B, W, ...)
+            # slot j holds frame i - (W-1) + j; valid iff that index >= 0
+            valid = (jnp.arange(W) + i - (W - 1)) >= 0
+            if actions_padded is not None:
+                awin = jax.lax.dynamic_slice(
+                    actions_padded, (0, i, 0), (B, W, actions_padded.shape[-1])
+                )
+            else:
+                awin = None
+            window = denoise_window(
+                dit_fn, window, awin, valid, cfg, abar, noise_range
+            )
+            new_frame = window[:, -1]
+            ctx_buf = jnp.concatenate([ctx_buf[:, 1:], window[:, -1:]], axis=1)
+            return (ctx_buf, key), new_frame
+
+        (_, _), frames = jax.lax.scan(
+            step, (ctx, rng), jnp.arange(num_gen_frames)
+        )
+        frames = jnp.moveaxis(frames, 0, 1)  # (B, num_gen, C, H, W)
+        return jnp.concatenate([prompt_latents, frames], axis=1)
+
+    return rollout
+
+
+def renoise_last_frame(
+    dit_fn, latents, actions, rng, cfg: SamplerConfig, alphas_cumprod, noise_range
+):
+    """Eval diagnostic: stabilise-noise the context, replace the last frame
+    with pure noise, denoise it (reference predict_noise, train_dit.py:466-552
+    — note it noises context at stabilization_level - 1)."""
+    B, T, C, H, W = latents.shape
+    k1, k2 = jax.random.split(rng)
+    ctx_noise = jnp.clip(
+        jax.random.normal(k1, (B, T - 1, C, H, W), jnp.float32),
+        -cfg.noise_abs_max, cfg.noise_abs_max,
+    )
+    t_ctx = jnp.full((B, T - 1), cfg.stabilization_level - 1, jnp.int32)
+    a = _expand(alphas_cumprod[t_ctx])
+    noisy_ctx = jnp.sqrt(a) * latents[:, :-1] + jnp.sqrt(1.0 - a) * ctx_noise
+    new_frame = jnp.clip(
+        jax.random.normal(k2, (B, 1, C, H, W), jnp.float32),
+        -cfg.noise_abs_max, cfg.noise_abs_max,
+    )
+    x = jnp.concatenate([noisy_ctx, new_frame], axis=1)
+    return denoise_window(dit_fn, x, actions, None, cfg, alphas_cumprod, noise_range)
+
+
+# --------------------------------------------------------------- training loss
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    ddim_noise_steps: int = 50
+    ctx_max_noise_idx: int = 40
+    noise_abs_max: float = NOISE_ABS_MAX
+    n_prompt_frames: int = 4
+    max_frames: int = 5
+    max_noise_level: int = MAX_NOISE_LEVEL
+
+
+def diffusion_forcing_loss(dit_fn, latents, actions, rng, cfg: LossConfig,
+                           alphas_cumprod, noise_range):
+    """Diffusion-forcing v-prediction loss over a clip.
+
+    latents: (B, T, C, H, W) float32 (already VAE-encoded and scaled);
+    actions: (B, T, A) or None. Returns (mean_loss, sum_loss) where mean is
+    the reference's reported loss (frame-mean, train_dit.py:682) and sum is
+    what gradients should flow through (the reference backprops each frame's
+    loss separately, :678-680 — summing is the functional equivalent).
+
+    Per generated frame i (reference :573-650):
+      target noise idx ~ U[1, ddim_noise_steps], ctx idx ~ U[1, ctx_max]
+      clipped to target; context frames noised at noise_range[ctx_idx], last
+      frame at noise_range[target_idx]; v-target = sqrt(a)*eps -
+      sqrt(1-a)*x0; MSE on the last frame only.
+    """
+    B, T, C, H, W = latents.shape
+    n_gen = T - cfg.n_prompt_frames
+    assert n_gen >= 1
+    Wn = cfg.max_frames
+
+    k_t, k_c, k_noise = jax.random.split(rng, 3)
+    target_idx = jax.random.randint(
+        k_t, (n_gen, B), 1, cfg.ddim_noise_steps + 1
+    )
+    ctx_idx = jax.random.randint(k_c, (n_gen, B), 1, cfg.ctx_max_noise_idx + 1)
+    ctx_idx = jnp.minimum(ctx_idx, target_idx)
+
+    if actions is not None:
+        A = actions.shape[-1]
+        actions_padded = jnp.concatenate(
+            [jnp.zeros((B, Wn - 1, A), actions.dtype), actions], axis=1
+        )
+
+    total = jnp.float32(0.0)
+    for idx, i in enumerate(range(cfg.n_prompt_frames, T)):
+        # static window build: slots hold frames i-(Wn-1)..i, left zero-padded
+        lo = i - (Wn - 1)
+        if lo < 0:
+            pad = jnp.zeros((B, -lo, C, H, W), latents.dtype)
+            window = jnp.concatenate([pad, latents[:, : i + 1]], axis=1)
+        else:
+            window = latents[:, lo : i + 1]
+        valid = jnp.asarray(
+            [lo + j >= 0 for j in range(Wn)], dtype=bool
+        )
+        if actions is not None:
+            awin = actions_padded[:, lo + (Wn - 1) : lo + (Wn - 1) + Wn]
+        else:
+            awin = None
+
+        t_ctx = noise_range[ctx_idx[idx]][:, None]  # (B,1) broadcast over ctx
+        t_tgt = noise_range[target_idx[idx]][:, None]
+        t = jnp.concatenate(
+            [jnp.broadcast_to(t_ctx, (B, Wn - 1)), t_tgt], axis=1
+        ).astype(jnp.int32)
+
+        kf = jax.random.fold_in(k_noise, idx)
+        k_ctx, k_last = jax.random.split(kf)
+        ctx_noise = jnp.clip(
+            jax.random.normal(k_ctx, (B, Wn - 1, C, H, W), jnp.float32),
+            -cfg.noise_abs_max, cfg.noise_abs_max,
+        )
+        last_noise = jnp.clip(
+            jax.random.normal(k_last, (B, 1, C, H, W), jnp.float32),
+            -cfg.noise_abs_max, cfg.noise_abs_max,
+        )
+        a_ctx = _expand(alphas_cumprod[t[:, :-1]])
+        a_tgt = _expand(alphas_cumprod[t[:, -1:]])
+        noisy_ctx = jnp.sqrt(a_ctx) * window[:, :-1] + jnp.sqrt(1 - a_ctx) * ctx_noise
+        noisy_tgt = jnp.sqrt(a_tgt) * window[:, -1:] + jnp.sqrt(1 - a_tgt) * last_noise
+        x_noisy = jnp.concatenate([noisy_ctx, noisy_tgt], axis=1)
+        v_target = (
+            jnp.sqrt(a_tgt) * last_noise - jnp.sqrt(1 - a_tgt) * window[:, -1:]
+        )
+
+        v_pred = dit_fn(x_noisy, t, awin, valid).astype(jnp.float32)
+        total = total + jnp.mean(jnp.square(v_pred[:, -1:] - v_target))
+
+    return total / n_gen, total

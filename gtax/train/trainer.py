@@ -1,0 +1,577 @@
+"""The training orchestrator.
+
+Parity target: DiffusionTrainer (/root/reference/train_dit.py:173-1035) —
+frozen-VAE latent encoding, diffusion-forcing loss, AdamW + warmup-cosine-
+to-min-lr, grad accumulation, periodic validation / rollout / renoise evals,
+two-tier checkpointing (weight-only safetensors exports + full train state),
+resume with step/epoch/RNG restoration, metric logging.
+
+TPU-native shape:
+  - ONE jitted train step: VAE encode (frozen, under stop_gradient), loss over
+    all generated frames, grad, clip, optimizer update — no Python inside.
+  - Gradient accumulation is a lax.scan over micro-batches inside the step
+    (the loader delivers batch_size * accum samples), reproducing the
+    reference's grad semantics (sum of per-micro grads / accum).
+  - Data parallelism via NamedSharding on the batch; XLA inserts the grad
+    psum over the mesh's 'data' axis. Tensor parallelism optional via the
+    'model' axis (gtax.parallel.mesh.param_sharding).
+  - Full-state checkpoints via orbax; weight exports via the safetensors port
+    so checkpoints round-trip with the reference ecosystem.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from gtax.core.constants import LATENT_SCALE
+from gtax.core import schedules
+from gtax.data.loader import Batch, DataLoader, device_prefetch, make_dataset
+from gtax.io import safetensors_port as port
+from gtax.models.dit import DiT_MODELS, dit_apply
+from gtax.models.vae import VAE_MODELS, vae_decode, vae_encode
+from gtax.nn import attention as attention_mod
+from gtax.parallel import mesh as meshlib
+from gtax.sampling.diffusion import (
+    LossConfig,
+    SamplerConfig,
+    diffusion_forcing_loss,
+    make_rollout,
+    renoise_last_frame,
+)
+from gtax.train.config import TrainingConfig
+from gtax.train.optim import make_optimizer
+from gtax.utils.profiling import MFUCounter, StepTimer, dit_forward_flops
+
+logger = logging.getLogger("gtax.train")
+
+
+def encode_frames(vae_params, vae_cfg, frames, compute_dtype):
+    """frames (B,T,3,H,W) in [0,1] -> latents (B,T,C,h,w) float32
+    (reference encode_frames, train_dit.py:329-351)."""
+    B, T = frames.shape[:2]
+    flat = frames.reshape(B * T, *frames.shape[2:])
+    mean, _ = vae_encode(vae_params, vae_cfg, flat * 2.0 - 1.0, compute_dtype)
+    lat = mean * LATENT_SCALE
+    lat = lat.reshape(B, T, vae_cfg.seq_h, vae_cfg.seq_w, vae_cfg.latent_dim)
+    return lat.transpose(0, 1, 4, 2, 3).astype(jnp.float32)
+
+
+def decode_frames(vae_params, vae_cfg, latents, compute_dtype):
+    """latents (B,T,C,h,w) -> uint8 video (B,T,H,W,3)
+    (reference decode_frames, train_dit.py:353-369)."""
+    B, T, C, h, w = latents.shape
+    flat = latents.transpose(0, 1, 3, 4, 2).reshape(B * T, h * w, C)
+    pix = vae_decode(vae_params, vae_cfg, flat / LATENT_SCALE, compute_dtype)
+    pix = (pix + 1.0) / 2.0
+    pix = pix.reshape(B, T, 3, vae_cfg.input_height, vae_cfg.input_width)
+    pix = jnp.clip(pix * 255.0, 0, 255).astype(jnp.uint8)
+    return pix.transpose(0, 1, 3, 4, 2)
+
+
+class Trainer:
+    def __init__(self, config: TrainingConfig, total_dataset_size: int):
+        self.config = config
+        self.compute_dtype = jnp.dtype(config.compute_dtype)
+        attention_mod.set_backend(config.attention_backend)
+
+        self.mesh = meshlib.make_mesh(
+            meshlib.MeshConfig(data=config.mesh_data, model=config.mesh_model)
+        )
+        self.n_devices = self.mesh.devices.size
+        self.batch_sharding = meshlib.batch_sharding(self.mesh)
+        self.replicated = meshlib.replicated(self.mesh)
+
+        self.rng = jax.random.PRNGKey(config.seed)
+
+        # models
+        self.dit_cfg = DiT_MODELS["DiT-S/2"]()
+        if config.pretrained_model:
+            logger.info("Loading pretrained DiT from %s", config.pretrained_model)
+            self.dit_params = port.load_dit(config.pretrained_model, self.dit_cfg)
+        else:
+            logger.info("Initializing new DiT model from scratch")
+            self.rng, init_key = jax.random.split(self.rng)
+            from gtax.models.dit import dit_init
+
+            self.dit_params = dit_init(init_key, self.dit_cfg)
+        self.vae_cfg = VAE_MODELS["vit-l-20-shallow-encoder"]()
+        self.vae_params = port.load_vae(config.vae_checkpoint, self.vae_cfg)
+
+        self.max_frames = self.dit_cfg.max_frames
+
+        # steps math (reference train_dit.py:241-248)
+        self.steps_per_epoch = total_dataset_size // (
+            config.batch_size * self.n_devices * config.gradient_accumulation_steps
+        )
+        self.total_training_steps = self.steps_per_epoch * config.num_epochs
+        if config.max_steps > 0:
+            self.total_training_steps = min(self.total_training_steps,
+                                            config.max_steps)
+        warmup = int(config.warmup_ratio * self.total_training_steps)
+        self.tx, self.lr_schedule = make_optimizer(
+            config.learning_rate, config.min_learning_rate, warmup,
+            self.total_training_steps, weight_decay=config.weight_decay,
+            max_grad_norm=config.max_grad_norm,
+        )
+        self.opt_state = self.tx.init(self.dit_params)
+
+        # diffusion constants (reference register_buffers, train_dit.py:286-327)
+        betas = schedules.sigmoid_beta_schedule(1000, clamp_min=1e-6)
+        self.alphas_cumprod = schedules.alphas_cumprod_from_betas(betas)
+        self.noise_range = schedules.ddim_noise_range(config.ddim_noise_steps)
+        self.noise_range_inference = schedules.ddim_noise_range(
+            config.ddim_noise_steps_inference
+        )
+        self.stabilization_level = int(np.asarray(self.noise_range)[1])
+
+        self.loss_cfg = LossConfig(
+            ddim_noise_steps=config.ddim_noise_steps,
+            ctx_max_noise_idx=config.ctx_max_noise_idx,
+            noise_abs_max=config.noise_abs_max,
+            n_prompt_frames=config.n_prompt_frames,
+            max_frames=self.max_frames,
+        )
+        self.sampler_cfg = SamplerConfig(
+            ddim_noise_steps=config.ddim_noise_steps_inference,
+            stabilization_level=self.stabilization_level,
+            noise_abs_max=config.noise_abs_max,
+            schedule_clamp_min=1e-6,
+        )
+
+        self.global_step = 0
+        self.start_epoch = 0
+        self._place_state()
+        self._build_steps()
+
+        flops = 3.0 * dit_forward_flops(  # fwd + bwd ~ 3x fwd
+            self.dit_cfg,
+            config.batch_size * self.n_devices *
+            config.gradient_accumulation_steps,
+            self.max_frames,
+        ) * max(1, 5 - config.n_prompt_frames)
+        self.mfu = MFUCounter(flops, self.n_devices)
+        self.timer = StepTimer()
+
+    # ------------------------------------------------------------ setup
+
+    def _place_state(self):
+        self.param_sharding = meshlib.param_sharding(self.mesh, self.dit_params)
+        self.dit_params = jax.device_put(self.dit_params, self.param_sharding)
+        self.vae_params = jax.device_put(self.vae_params, self.replicated)
+        self.opt_state = jax.device_put(self.opt_state, self.replicated)
+
+    def _dit_fn(self, params):
+        remat = self.config.remat
+
+        def fn(x, t, actions, valid):
+            apply = dit_apply
+            if remat:
+                apply = jax.checkpoint(
+                    partial(dit_apply, compute_dtype=self.compute_dtype),
+                    static_argnums=(1,),
+                )
+                return apply(params, self.dit_cfg, x, t, actions, valid)
+            return apply(
+                params, self.dit_cfg, x, t, actions, valid,
+                compute_dtype=self.compute_dtype,
+            )
+
+        return fn
+
+    def _build_steps(self):
+        cfg = self.config
+        accum = cfg.gradient_accumulation_steps
+
+        def loss_for_micro(params, video, actions, rng):
+            latents = jax.lax.stop_gradient(
+                encode_frames(self.vae_params, self.vae_cfg, video,
+                              self.compute_dtype)
+            )
+            mean_loss, sum_loss = diffusion_forcing_loss(
+                self._dit_fn(params), latents, actions, rng, self.loss_cfg,
+                self.alphas_cumprod, self.noise_range,
+            )
+            return sum_loss, mean_loss
+
+        grad_fn = jax.value_and_grad(loss_for_micro, has_aux=True)
+
+        def train_step(params, opt_state, video, actions, rng):
+            # video: (accum, B, T, 3, H, W) — micro-batches stacked in front
+            def micro(carry, inp):
+                grads_acc, loss_acc = carry
+                v, a, key = inp
+                (_, mean_loss), grads = grad_fn(params, v, a, key)
+                grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+                return (grads_acc, loss_acc + mean_loss), None
+
+            zero_grads = jax.tree.map(jnp.zeros_like, params)
+            keys = jax.random.split(rng, accum)
+            if actions is None:
+                (grads, loss_sum), _ = jax.lax.scan(
+                    lambda c, i: micro(c, (video[i[0]], None, i[1])),
+                    (zero_grads, 0.0),
+                    (jnp.arange(accum), keys),
+                )
+            else:
+                (grads, loss_sum), _ = jax.lax.scan(
+                    lambda c, i: micro(c, (video[i[0]], actions[i[0]], i[1])),
+                    (zero_grads, 0.0),
+                    (jnp.arange(accum), keys),
+                )
+            grads = jax.tree.map(lambda g: g / accum, grads)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            metrics = {
+                "train_loss": loss_sum / accum,
+                "grad_norm": optax.global_norm(grads),
+            }
+            return params, opt_state, metrics
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+
+        def eval_step(params, video, actions, rng):
+            _, mean_loss = loss_for_micro(params, video, actions, rng)
+            return mean_loss
+
+        self._eval_step = jax.jit(eval_step)
+
+        # rollout for predict(): closure over current params at call time
+        self._rollout_cache = {}
+
+    # ----------------------------------------------------------- loops
+
+    def training_loop(self, train_loader, val_loader, callbacks=None):
+        """Main loop (reference train(), train_dit.py:851-1035)."""
+        cfg = self.config
+        callbacks = callbacks or []
+        if cfg.resume_from_checkpoint:
+            self.try_resume()
+
+        if self.global_step == 0:
+            self.run_validation(val_loader)
+
+        step_in_epoch_skip = self.skip_batches if hasattr(self, "skip_batches") else 0
+        for epoch in range(self.start_epoch, cfg.num_epochs):
+            for batch in self.iter_device_batches(train_loader):
+                if cfg.max_steps > 0 and self.global_step >= cfg.max_steps:
+                    logger.info("Reached max_steps=%d", cfg.max_steps)
+                    return
+                if step_in_epoch_skip > 0:
+                    step_in_epoch_skip -= 1
+                    continue
+                metrics = self.train_step(batch)
+                self.global_step += 1
+                if self.global_step % cfg.logging_steps == 0:
+                    self.log_metrics(metrics, epoch)
+                if (
+                    self.global_step > 0
+                    and cfg.validation_steps > 0
+                    and self.global_step % cfg.validation_steps == 0
+                ):
+                    self.run_validation(val_loader)
+                if (
+                    self.global_step > 0
+                    and cfg.save_every > 0
+                    and self.global_step % cfg.save_every == 0
+                ):
+                    self.save_model(epoch)
+                    self.save_checkpoint(epoch)
+                for cb in callbacks:
+                    cb(self, metrics)
+            self.start_epoch = epoch + 1
+
+    def iter_device_batches(self, loader):
+        accum = self.config.gradient_accumulation_steps
+        B = self.config.batch_size * self.n_devices
+
+        def regroup():
+            stack_v, stack_a = [], []
+            for b in loader:
+                stack_v.append(b.video)
+                stack_a.append(b.actions)
+                if len(stack_v) == accum:
+                    video = np.stack(stack_v)  # (accum, B, T, 3, H, W)
+                    actions = (
+                        np.stack(stack_a) if stack_a[0] is not None else None
+                    )
+                    stack_v, stack_a = [], []
+                    yield Batch(video=video, actions=actions)
+
+        del B
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        micro_sharding = NamedSharding(self.mesh, P(None, "data"))
+        return device_prefetch(regroup(), sharding=micro_sharding)
+
+    def train_step(self, batch: Batch):
+        self.timer.start()
+        self.rng, key = jax.random.split(self.rng)
+        self.dit_params, self.opt_state, metrics = self._train_step(
+            self.dit_params, self.opt_state, batch.video, batch.actions, key
+        )
+        metrics = {k: float(v) for k, v in metrics.items()}
+        dt = self.timer.stop()
+        metrics["step_time_s"] = dt
+        metrics["mfu"] = self.mfu.mfu(dt)
+        metrics["learning_rate"] = float(self.lr_schedule(self.global_step))
+        return metrics
+
+    def run_validation(self, val_loader, max_batches: int = 50):
+        """Validation loss + rollout + renoise evals
+        (reference train_dit.py:711-744, 371-464, 466-552)."""
+        if val_loader is None:
+            return None
+        losses = []
+        first_batch = None
+        for i, batch in enumerate(self.iter_eval_batches(val_loader)):
+            if first_batch is None:
+                first_batch = batch
+            if i >= max_batches:
+                break
+            self.rng, key = jax.random.split(self.rng)
+            losses.append(
+                float(
+                    self._eval_step(
+                        self.dit_params, batch.video, batch.actions, key
+                    )
+                )
+            )
+        avg = sum(losses) / max(1, len(losses))
+        logger.info("val_loss=%.5f at step %d", avg, self.global_step)
+        self.log_metrics({"val_loss": avg}, epoch=self.start_epoch)
+        if first_batch is not None:
+            try:
+                self.predict(first_batch)
+            except Exception as e:  # evals must never kill training
+                logger.warning("predict eval failed: %r", e)
+        return avg
+
+    def iter_eval_batches(self, loader):
+        return device_prefetch(iter(loader), sharding=None)
+
+    def predict(self, batch: Batch, num_frames: int = 32):
+        """Rollout eval writing an mp4 (reference predict, train_dit.py:371-464)."""
+        cfg = self.config
+        video = jnp.asarray(batch.video[:1, : cfg.n_prompt_frames])
+        if cfg.use_action_conditioning and batch.actions is not None:
+            from gtax.data.actions import forward_actions
+
+            actions = np.asarray(batch.actions[:1])
+            if actions.shape[1] < num_frames:
+                fill = forward_actions(1, num_frames - actions.shape[1])
+                actions = np.concatenate([actions, fill], axis=1)
+            actions = jnp.asarray(actions)
+        else:
+            actions = None
+
+        latents = encode_frames(
+            self.vae_params, self.vae_cfg, video, self.compute_dtype
+        )
+        key = ("rollout", actions is not None)
+        if key not in self._rollout_cache:
+            self._rollout_cache[key] = make_rollout(
+                self._dit_fn(self.dit_params), self.max_frames, self.sampler_cfg
+            )
+        # NOTE: dit_fn closes over params; rebuild closure with current params
+        rollout = make_rollout(
+            self._dit_fn(self.dit_params), self.max_frames, self.sampler_cfg
+        )
+        self.rng, rkey = jax.random.split(self.rng)
+        lat = rollout(latents, actions, rkey,
+                      num_gen_frames=num_frames - latents.shape[1])
+        pix = decode_frames(self.vae_params, self.vae_cfg, lat,
+                            self.compute_dtype)
+        os.makedirs("debug_visualizations", exist_ok=True)
+        from gtax.io.video import write_video
+
+        path = (
+            f"debug_visualizations/test_{self.config.model_name}"
+            f"_{jax.process_index()}_epoch_{self.start_epoch}"
+            f"_gs_{self.global_step}.mp4"
+        )
+        write_video(path, np.asarray(pix[0]), fps=10)
+        logger.info("generation saved to %s", path)
+        return path
+
+    def predict_noise(self, batch: Batch):
+        """Renoise-the-last-frame eval (reference predict_noise,
+        train_dit.py:466-552) + debug grid."""
+        video = jnp.asarray(batch.video[:1])
+        actions = (
+            jnp.asarray(batch.actions[:1])
+            if (self.config.use_action_conditioning and batch.actions is not None)
+            else None
+        )
+        latents = encode_frames(
+            self.vae_params, self.vae_cfg, video, self.compute_dtype
+        )
+        abar, noise_range = self.sampler_cfg.tables()
+        self.rng, key = jax.random.split(self.rng)
+        out = renoise_last_frame(
+            self._dit_fn(self.dit_params), latents, actions, key,
+            self.sampler_cfg, abar, noise_range,
+        )
+        try:
+            from gtax.train.viz import visualize_step
+
+            visualize_step(
+                x_curr=np.asarray(latents),
+                x_noisy=np.asarray(latents),
+                noise=np.asarray(out - latents),
+                v=np.asarray(out),
+                pred=np.asarray(out),
+                step=self.global_step,
+                decode_fn=lambda lat: np.asarray(
+                    decode_frames(
+                        self.vae_params, self.vae_cfg, jnp.asarray(lat),
+                        self.compute_dtype,
+                    )
+                ),
+                name=f"{self.config.model_name}_noise_gs_{self.global_step}.png",
+            )
+        except Exception as e:
+            logger.warning("visualization failed: %r", e)
+        return out
+
+    # ------------------------------------------------------ checkpointing
+
+    def save_model(self, epoch: int):
+        """Weight-only safetensors export (reference save_model,
+        train_dit.py:746-763)."""
+        if jax.process_index() != 0:
+            return
+        os.makedirs(self.config.output_dir, exist_ok=True)
+        path = os.path.join(
+            self.config.output_dir,
+            f"{self.config.model_name}_epoch_{epoch + 1}_{self.global_step}"
+            ".safetensors",
+        )
+        port.save_dit(path, jax.device_get(self.dit_params), self.dit_cfg)
+        logger.warning("Saved checkpoint to %s", path)
+
+    def _ckpt_dir(self):
+        return os.path.abspath(
+            os.path.join(
+                self.config.output_dir,
+                f"train_checkpoints/{self.config.model_name}_last",
+            )
+        )
+
+    def save_checkpoint(self, epoch: int):
+        """Full train state via orbax (+ step metadata, reference
+        save_checkpoint train_dit.py:765-800)."""
+        import orbax.checkpoint as ocp
+
+        path = self._ckpt_dir()
+        if jax.process_index() == 0:
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+        state = {
+            "params": jax.device_get(self.dit_params),
+            "opt_state": jax.device_get(self.opt_state),
+            "rng": jax.device_get(self.rng),
+        }
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(os.path.join(path, f"state_{self.global_step}"), state)
+        ckptr.wait_until_finished()
+        if jax.process_index() == 0:
+            with open(os.path.join(path, "step.json"), "w") as f:
+                json.dump(
+                    {"step": self.global_step, "epoch": epoch,
+                     "time": time.time()},
+                    f,
+                )
+        logger.warning("Saved checkpoint for step %d", self.global_step)
+
+    def try_resume(self):
+        """Restore params/opt/rng/step (reference load_checkpoint,
+        train_dit.py:802-849)."""
+        import orbax.checkpoint as ocp
+
+        path = self._ckpt_dir()
+        meta = os.path.join(path, "step.json")
+        if not os.path.exists(meta):
+            logger.info("No checkpoint at %s; starting fresh", path)
+            return False
+        with open(meta) as f:
+            state_meta = json.load(f)
+        self.global_step = state_meta["step"]
+        self.start_epoch = state_meta["epoch"]
+        ckptr = ocp.StandardCheckpointer()
+        template = {
+            "params": jax.device_get(self.dit_params),
+            "opt_state": jax.device_get(self.opt_state),
+            "rng": jax.device_get(self.rng),
+        }
+        state = ckptr.restore(
+            os.path.join(path, f"state_{self.global_step}"), template
+        )
+        self.dit_params = jax.device_put(state["params"], self.param_sharding)
+        self.opt_state = jax.device_put(state["opt_state"], self.replicated)
+        self.rng = jnp.asarray(state["rng"])
+        # fast-forward within the epoch (reference :837-839)
+        self.skip_batches = (
+            (self.global_step % max(1, self.steps_per_epoch))
+        )
+        logger.info(
+            "Resumed from epoch %d, step %d, skipping %d steps",
+            self.start_epoch + 1, self.global_step, self.skip_batches,
+        )
+        return True
+
+    # ----------------------------------------------------------- logging
+
+    def log_metrics(self, metrics: dict, epoch: int):
+        record = {"step": self.global_step, "epoch": epoch, **metrics}
+        logger.info(
+            "step %d | %s",
+            self.global_step,
+            " ".join(f"{k}={v:.5g}" for k, v in metrics.items()
+                     if isinstance(v, (int, float))),
+        )
+        if self.config.use_wandb:
+            try:
+                import wandb
+
+                if wandb.run is not None:
+                    wandb.log(record)
+            except ImportError:
+                pass
+        # JSONL metrics sink (observability without wandb)
+        os.makedirs(self.config.output_dir, exist_ok=True)
+        with open(
+            os.path.join(self.config.output_dir,
+                         f"{self.config.model_name}_metrics.jsonl"), "a"
+        ) as f:
+            f.write(json.dumps(record) + "\n")
+
+
+def build_loaders(config: TrainingConfig, **dataset_kw):
+    """Dataset/loader wiring (reference main(), train_dit.py:1038-1090)."""
+    train_ds = make_dataset(
+        config.dataset_type, "train", config.use_action_conditioning,
+        **dataset_kw,
+    )
+    val_ds = make_dataset(
+        config.dataset_type, "validation", config.use_action_conditioning,
+        **dataset_kw,
+    )
+    n_dev = len(jax.devices())
+    train_loader = DataLoader(
+        train_ds, batch_size=config.batch_size * n_dev,
+        num_workers=min(os.cpu_count() or 1, 32), seed=config.seed,
+    )
+    val_loader = DataLoader(
+        val_ds, batch_size=config.validation_batch_size,
+        num_workers=min(os.cpu_count() or 1, 8), seed=config.seed,
+        shuffle=False,
+    )
+    return train_loader, val_loader
