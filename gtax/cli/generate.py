@@ -1,0 +1,138 @@
+"""Autoregressive video generation CLI.
+
+Parity target: /root/reference/generate.py — same flags, same defaults, same
+rollout semantics (stabilization 15, noise_abs_max 20, window 5, DDIM over
+noise_steps+1, test-set or custom start frame, mp4 at 10 fps). The whole
+frames x noise-steps loop nest runs as ONE jitted nested lax.scan on device;
+the only host work is VAE IO at the ends and the mp4 mux.
+
+Fixed vs reference: the --start_frame + --use_actions path works (the
+reference's inverted `if not not args.use_actions` at generate.py:155 made it
+crash; SURVEY.md quirk 3).
+
+Usage:
+  python -m gtax.cli.generate --total-frames 32 --noise_steps 100 \
+      --dit_model_path dit.safetensors --vae_model_path vit-l-20.safetensors \
+      [--use_actions] [--start_frame img.jpg] [--output_path video1.mp4]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gtax.core.constants import FRAME_HEIGHT, FRAME_WIDTH
+from gtax.data.actions import forward_actions
+from gtax.io import safetensors_port as port
+from gtax.io.video import read_image, write_video
+from gtax.models.dit import DiT_MODELS, dit_apply
+from gtax.models.vae import VAE_MODELS
+from gtax.nn import attention as attention_mod
+from gtax.sampling.diffusion import SamplerConfig, make_rollout
+from gtax.train.trainer import decode_frames, encode_frames
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="Video generation (gtax)")
+    p.add_argument("--total-frames", type=int, default=32)
+    p.add_argument("--dit_model_path", type=str,
+                   default="checkpoints/dit.safetensors")
+    p.add_argument("--vae_model_path", type=str,
+                   default="checkpoints/vit-l-20.safetensors")
+    p.add_argument("--noise_steps", type=int, default=100)
+    p.add_argument("--use_actions", action="store_true")
+    p.add_argument("--output_path", type=str, default="video1.mp4")
+    p.add_argument("--start_frame", type=str, default=None)
+    p.add_argument("--dtype", type=str, default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--attention_backend", type=str, default="xla",
+                   choices=["xla", "pallas"])
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--benchmark_json", action="store_true",
+                   help="print a timing JSON line at the end")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    attention_mod.set_backend(args.attention_backend)
+    dtype = jnp.dtype(args.dtype)
+
+    dit_cfg = DiT_MODELS["DiT-S/2"]()
+    vae_cfg = VAE_MODELS["vit-l-20-shallow-encoder"]()
+    dit_params = port.load_dit(args.dit_model_path, dit_cfg)
+    vae_params = port.load_vae(args.vae_model_path, vae_cfg)
+
+    total_frames = args.total_frames
+    n_prompt = 4 if args.start_frame is None else 1
+    sampler = SamplerConfig(
+        ddim_noise_steps=args.noise_steps,
+        stabilization_level=15,          # reference generate.py:138
+        schedule_clamp_min=1e-4,         # reference uses the default here
+    )
+    print(f"We will generate {total_frames} frames, starting with "
+          f"{n_prompt} frames.")
+    print(f"Noise steps: {args.noise_steps}; stabilization 15; "
+          f"window {dit_cfg.max_frames}; actions={args.use_actions}")
+
+    if args.start_frame is not None:
+        frame = read_image(args.start_frame, (FRAME_HEIGHT, FRAME_WIDTH))
+        video = frame[None, None]  # (1, 1, 3, H, W)
+        actions = (
+            jnp.asarray(forward_actions(1, total_frames))
+            if args.use_actions else None
+        )
+    else:
+        from gtax.data.loader import make_dataset
+
+        test_ds = make_dataset("webdataset", "test", args.use_actions)
+        sample = next(iter(test_ds))
+        video = np.asarray(sample["video"], np.float32)[None, :n_prompt]
+        if args.use_actions:
+            acts = np.asarray(sample["actions"], np.float32)[None]
+            if acts.shape[1] < total_frames:
+                acts = np.concatenate(
+                    [acts, forward_actions(1, total_frames - acts.shape[1])],
+                    axis=1,
+                )
+            actions = jnp.asarray(acts)
+        else:
+            actions = None
+
+    def dit_fn(x, t, a, valid):
+        return dit_apply(dit_params, dit_cfg, x, t, a, valid,
+                         compute_dtype=dtype)
+
+    seed = args.seed if args.seed is not None else int(time.time())
+    rng = jax.random.PRNGKey(seed)
+
+    latents = encode_frames(vae_params, vae_cfg, jnp.asarray(video), dtype)
+    rollout = make_rollout(dit_fn, dit_cfg.max_frames, sampler)
+
+    t0 = time.perf_counter()
+    lat = rollout(latents, actions, rng,
+                  num_gen_frames=total_frames - n_prompt)
+    lat.block_until_ready()
+    gen_seconds = time.perf_counter() - t0
+
+    pixels = decode_frames(vae_params, vae_cfg, lat, dtype)
+    pixels = np.asarray(pixels[0])
+    write_video(args.output_path, pixels, fps=10)
+    print(f"generation saved to {args.output_path}.")
+    if args.benchmark_json:
+        print(json.dumps({
+            "generated_frames": total_frames - n_prompt,
+            "noise_steps": args.noise_steps,
+            "seconds": gen_seconds,
+            "frames_per_sec": (total_frames - n_prompt) / gen_seconds,
+        }))
+    return pixels
+
+
+if __name__ == "__main__":
+    main()

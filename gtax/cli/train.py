@@ -1,0 +1,66 @@
+"""Training CLI.
+
+Parity target: /root/reference/train_dit.py main() (:1038-1094) — YAML config
+in, dataset selection, trainer, loop. Reference YAML configs (configs/
+train_dit.yaml, train_dit_actions.yaml) load unchanged.
+
+Usage:  python -m gtax.cli.train configs/train_dit.yaml
+Multi-host TPU: run one process per host; jax.distributed is initialised from
+the standard TPU environment automatically when available.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("config", type=str, help="Path to config YAML file")
+    parser.add_argument("--dataset_root", type=str, default=None,
+                        help="local shard dir for the webdataset backend")
+    args = parser.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO)
+    from gtax.train.config import TrainingConfig
+
+    config = TrainingConfig.from_yaml(args.config)
+
+    if config.dataset_type == "webdataset":
+        logging.info(
+            "Using the streaming tar backend (memory-efficient; shard cursor "
+            "is checkpointed for resume, unlike the reference)."
+        )
+    elif config.dataset_type == "hfdataset":
+        logging.info("Using HFDataset (loads into memory; needs RAM).")
+    elif config.dataset_type == "dummy":
+        logging.info("Using dummy dataset for testing purposes.")
+
+    from gtax.train.trainer import Trainer, build_loaders
+
+    dataset_kw = {}
+    if args.dataset_root and config.dataset_type == "webdataset":
+        import glob
+        import os
+
+        dataset_kw["shards"] = sorted(
+            glob.glob(os.path.join(args.dataset_root, "*.tar"))
+        )
+
+    train_loader, val_loader = build_loaders(config, **dataset_kw)
+    trainer = Trainer(config, total_dataset_size=len(train_loader.dataset))
+
+    if config.use_wandb:
+        try:
+            import wandb
+
+            wandb.init(project="diffusion-transformer", config=config.to_dict())
+        except ImportError:
+            logging.info("wandb unavailable; metrics go to JSONL only")
+
+    trainer.training_loop(train_loader, val_loader)
+
+
+if __name__ == "__main__":
+    main()

@@ -78,12 +78,24 @@ def decode_frames(vae_params, vae_cfg, latents, compute_dtype):
 
 
 class Trainer:
-    def __init__(self, config: TrainingConfig, total_dataset_size: int):
+    def __init__(
+        self,
+        config: TrainingConfig,
+        total_dataset_size: int,
+        dit_cfg=None,
+        vae_cfg=None,
+        dit_params=None,
+        vae_params=None,
+        mesh=None,
+    ):
+        """dit_cfg/vae_cfg/params/mesh are injectable for tests and custom
+        model variants; defaults are the flagship DiT-S/2 + ViT-L/20 loaded
+        per config (reference train_dit.py:204-229)."""
         self.config = config
         self.compute_dtype = jnp.dtype(config.compute_dtype)
         attention_mod.set_backend(config.attention_backend)
 
-        self.mesh = meshlib.make_mesh(
+        self.mesh = mesh or meshlib.make_mesh(
             meshlib.MeshConfig(data=config.mesh_data, model=config.mesh_model)
         )
         self.n_devices = self.mesh.devices.size
@@ -93,8 +105,10 @@ class Trainer:
         self.rng = jax.random.PRNGKey(config.seed)
 
         # models
-        self.dit_cfg = DiT_MODELS["DiT-S/2"]()
-        if config.pretrained_model:
+        self.dit_cfg = dit_cfg or DiT_MODELS["DiT-S/2"]()
+        if dit_params is not None:
+            self.dit_params = dit_params
+        elif config.pretrained_model:
             logger.info("Loading pretrained DiT from %s", config.pretrained_model)
             self.dit_params = port.load_dit(config.pretrained_model, self.dit_cfg)
         else:
@@ -103,8 +117,11 @@ class Trainer:
             from gtax.models.dit import dit_init
 
             self.dit_params = dit_init(init_key, self.dit_cfg)
-        self.vae_cfg = VAE_MODELS["vit-l-20-shallow-encoder"]()
-        self.vae_params = port.load_vae(config.vae_checkpoint, self.vae_cfg)
+        self.vae_cfg = vae_cfg or VAE_MODELS["vit-l-20-shallow-encoder"]()
+        if vae_params is not None:
+            self.vae_params = vae_params
+        else:
+            self.vae_params = port.load_vae(config.vae_checkpoint, self.vae_cfg)
 
         self.max_frames = self.dit_cfg.max_frames
 
