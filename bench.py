@@ -1,0 +1,103 @@
+"""Headline benchmark: frames/sec of 32-frame, 100-step action-conditioned
+generation on the flagship DiT-S/2 + ViT-L/20 pipeline (the BASELINE.json
+config; reference workload at /root/reference/generate.py:192-246 — 28x101
+DiT window forwards + one 32-frame VAE decode).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is null until a measured torch-reference number exists
+(BASELINE.md: the reference publishes none; its README disclaims performance).
+
+Env knobs:
+  GTAX_BENCH_FRAMES (default 32), GTAX_BENCH_STEPS (default 100),
+  GTAX_BENCH_DTYPE (bfloat16), GTAX_BENCH_BACKEND (xla|pallas),
+  GTAX_BENCH_REPEATS (default 2 timed runs after 1 warmup).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gtax.data.actions import forward_actions
+    from gtax.models.dit import DiT_MODELS, dit_apply, dit_init
+    from gtax.models.vae import VAE_MODELS, vae_init
+    from gtax.nn import attention as attention_mod
+    from gtax.sampling.diffusion import SamplerConfig, make_rollout
+    from gtax.train.trainer import decode_frames, encode_frames
+
+    frames = int(os.environ.get("GTAX_BENCH_FRAMES", 32))
+    steps = int(os.environ.get("GTAX_BENCH_STEPS", 100))
+    dtype = jnp.dtype(os.environ.get("GTAX_BENCH_DTYPE", "bfloat16"))
+    backend = os.environ.get("GTAX_BENCH_BACKEND", "xla")
+    repeats = int(os.environ.get("GTAX_BENCH_REPEATS", 2))
+    attention_mod.set_backend(backend)
+
+    dit_cfg = DiT_MODELS["DiT-S/2"]()
+    vae_cfg = VAE_MODELS["vit-l-20-shallow-encoder"]()
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    # everything under jit: eager dispatch is pathological through remote
+    # device tunnels and irrelevant to the measured path anyway
+    dit_params = jax.jit(lambda k: dit_init(k, dit_cfg))(k1)
+    vae_params = jax.jit(lambda k: vae_init(k, vae_cfg))(k2)
+
+    def dit_fn(x, t, a, valid):
+        return dit_apply(dit_params, dit_cfg, x, t, a, valid,
+                         compute_dtype=dtype)
+
+    sampler = SamplerConfig(ddim_noise_steps=steps, stabilization_level=15)
+    rollout = make_rollout(dit_fn, dit_cfg.max_frames, sampler)
+
+    n_prompt = 4
+    video = jax.random.uniform(
+        jax.random.PRNGKey(1),
+        (1, n_prompt, 3, vae_cfg.input_height, vae_cfg.input_width),
+    )
+    actions = jnp.asarray(forward_actions(1, frames))
+    encode = jax.jit(
+        lambda vp, v: encode_frames(vp, vae_cfg, v, dtype)
+    )
+    decode = jax.jit(
+        lambda vp, lat: decode_frames(vp, vae_cfg, lat, dtype)
+    )
+    latents = encode(vae_params, video)
+    num_gen = frames - n_prompt
+
+    def run():
+        lat = rollout(latents, actions, jax.random.PRNGKey(2),
+                      num_gen_frames=num_gen)
+        pix = decode(vae_params, lat)
+        pix.block_until_ready()
+        return pix
+
+    run()  # warmup/compile
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    fps = num_gen / best
+
+    result = {
+        "metric": (
+            f"frames/sec, {frames}-frame {steps}-step action-conditioned "
+            f"generation (DiT-S/2 {dtype.name}, {backend} attention, "
+            f"{jax.devices()[0].device_kind})"
+        ),
+        "value": round(fps, 4),
+        "unit": "frames/sec",
+        "vs_baseline": None,
+    }
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    sys.exit(0 if main() else 1)

@@ -1,0 +1,131 @@
+"""Pallas fused attention kernel for the framework's three attention shapes.
+
+Replaces the CUDA fused-attention capability the reference consumes through
+torch SDPA (/root/reference/model/attention.py:62,127, model/vae.py:101-107;
+SURVEY.md §2.4). The sequences here are tiny by flash-attention standards —
+temporal T<=5, spatial 144 tokens, VAE 576 tokens — so the win is keeping the
+whole score matrix in VMEM and fusing QK^T -> mask -> softmax -> AV into one
+kernel with zero HBM round-trips for intermediates, not flash-style tiling
+(SURVEY.md §7 step 7).
+
+The kernel processes BLOCK_N attention rows (flattened batch x heads) per grid
+step; BLOCK_N is chosen per sequence length to keep the fp32 score tile under
+the VMEM budget. Causal/validity masking arrives as a precomputed additive
+(S, S) bias so one kernel serves all three patterns.
+
+`fused_sdpa` returns None for patterns the kernel doesn't cover (per-batch
+masks); callers fall back to the XLA path, which is semantics-identical.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_INTERPRET = False  # flipped by tests on CPU
+
+
+def set_interpret(value: bool) -> None:
+    global _INTERPRET
+    _INTERPRET = bool(value)
+
+
+def _block_rows(S: int, d: int, dtype_bytes: int = 2) -> int:
+    """Rows per grid step such that q/k/v tiles + the fp32 score tile stay
+    well under the ~16MB VMEM budget."""
+    per_row = 3 * S * d * dtype_bytes + S * S * 4 + S * d * dtype_bytes
+    budget = 8 * 1024 * 1024
+    return max(1, min(256, budget // per_row))
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale):
+    q = q_ref[:]
+    scores = jax.lax.dot_general(
+        q, k_ref[:], (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    scores = scores + bias_ref[:][None, :, :]
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(q.dtype)
+    out = jax.lax.dot_general(
+        probs, v_ref[:], (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[:] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("causal",))
+def _fused_sdpa_flat(q, k, v, bias, causal=False):
+    """q, k, v: (N, S, d); bias: (S, S) additive fp32. Returns (N, S, d)."""
+    N, S, d = q.shape
+    bn = _block_rows(S, d, q.dtype.itemsize)
+    n_pad = (-N) % bn
+    if n_pad:
+        pad = [(0, n_pad), (0, 0), (0, 0)]
+        q = jnp.pad(q, pad)
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+    grid = (q.shape[0] // bn,)
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, scale=1.0 / (d**0.5)),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bn, S, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, S, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, S, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, S), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bn, S, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=_INTERPRET,
+    )(q, k, v, bias)
+    return out[:N] if n_pad else out
+
+
+def _build_bias(S: int, mask, causal: bool) -> jnp.ndarray:
+    """Additive (S, S) fp32 bias from causal flag + optional (S,)/(S,S) mask
+    (True = attend). Mirrors gtax.nn.attention.sdpa mask semantics including
+    the always-open diagonal for padded temporal queries."""
+    if causal:
+        causal_m = jnp.tril(jnp.ones((S, S), dtype=bool))
+    else:
+        causal_m = jnp.ones((S, S), dtype=bool)
+    if mask is not None:
+        mask = jnp.asarray(mask)
+        if mask.ndim == 1:  # key-validity vector with open diagonal
+            mask = jnp.logical_or(mask[None, :], jnp.eye(S, dtype=bool))
+        full = jnp.logical_and(causal_m, mask)
+    else:
+        full = causal_m
+    return jnp.where(full, 0.0, -1e30).astype(jnp.float32)
+
+
+def fused_sdpa(q, k, v, mask=None, causal=False):
+    """Drop-in for gtax.nn.attention.sdpa on supported patterns.
+
+    q/k/v: (..., S, d). mask: None, (S,) validity, or (S, S) boolean. Returns
+    None (caller falls back to XLA) when the mask carries batch dimensions.
+    """
+    S, d = q.shape[-2], q.shape[-1]
+    if mask is not None:
+        mask = jnp.asarray(mask)
+        if mask.ndim > 2:
+            return None  # per-batch masks -> XLA fallback
+        if mask.ndim == 2 and mask.shape != (S, S):
+            return None
+    lead = q.shape[:-2]
+    qf = q.reshape(-1, S, d)
+    kf = k.reshape(-1, S, d)
+    vf = v.reshape(-1, S, d)
+    bias = _build_bias(S, mask, causal)
+    out = _fused_sdpa_flat(qf, kf, vf, bias, causal=causal)
+    return out.reshape(*lead, S, d)

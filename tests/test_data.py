@@ -1,0 +1,162 @@
+"""Data pipeline tests: action encoding, clip transform, the native tar
+streamer (with a locally built shard fixture), dummy dataset, and the loader."""
+
+import io
+import json
+import os
+import tarfile
+
+import numpy as np
+import pytest
+
+from gtax.data.actions import actions_to_one_hot, forward_actions
+from gtax.data.common import ClipTransform, split_len
+from gtax.data.dummy import DummyDataset
+from gtax.data.loader import DataLoader, make_dataset
+from gtax.data.webtar import WebTarDataset, decode_sample, iter_tar_samples
+
+
+def test_actions_one_hot():
+    out = actions_to_one_hot([-1, 0, 3, 24])
+    assert out.shape == (4, 25)
+    assert out[0].sum() == 0  # -1 == no action
+    assert out[1, 0] == 1 and out[2, 3] == 1 and out[3, 24] == 1
+    fwd = forward_actions(2, 3)
+    assert fwd.shape == (2, 3, 25) and (fwd[:, :, 3] == 1).all()
+
+
+def test_split_len():
+    assert split_len("train") == 1270669
+    assert split_len("validation") == 4040
+    assert split_len("test") == 4588
+
+
+def test_clip_transform():
+    strip = np.zeros((270, 2400, 3), np.uint8)
+    # mark frame 2 red so we can check the split ordering
+    strip[:, 2 * 480 : 3 * 480, 0] = 255
+    clip = ClipTransform()(strip)
+    assert clip.shape == (5, 3, 360, 640)
+    assert clip.dtype == np.float32
+    assert clip[2, 0].mean() > 0.9 and clip[1, 0].mean() < 0.1
+
+
+def make_shard(path, n_samples, h=54, w=480, with_json=True):
+    """Build a tar shard shaped like the GTAV dataset (strip jpg + cls + json)."""
+    from PIL import Image
+
+    with tarfile.open(path, "w") as tar:
+        for i in range(n_samples):
+            key = f"{i:06d}"
+            strip = np.full((h, 5 * w, 3), i % 255, np.uint8)
+            buf = io.BytesIO()
+            Image.fromarray(strip).save(buf, format="JPEG")
+            data = buf.getvalue()
+            info = tarfile.TarInfo(f"{key}.jpg")
+            info.size = len(data)
+            tar.addfile(info, io.BytesIO(data))
+            cls = str(i % 3).encode()
+            info = tarfile.TarInfo(f"{key}.cls")
+            info.size = len(cls)
+            tar.addfile(info, io.BytesIO(cls))
+            if with_json:
+                js = json.dumps({"actions_int": [i % 25] * 5}).encode()
+                info = tarfile.TarInfo(f"{key}.json")
+                info.size = len(js)
+                tar.addfile(info, io.BytesIO(js))
+
+
+def test_tar_sample_grouping(tmp_path):
+    shard = str(tmp_path / "00000.tar")
+    make_shard(shard, 4)
+    with open(shard, "rb") as f:
+        samples = [decode_sample(s) for s in iter_tar_samples(f)]
+    assert len(samples) == 4
+    assert samples[0]["jpg"].shape == (54, 2400, 3)
+    assert samples[1]["cls"] == 1
+    assert samples[2]["json"]["actions_int"] == [2] * 5
+
+
+def test_webtar_dataset_stream(tmp_path):
+    shards = []
+    for s in range(2):
+        path = str(tmp_path / f"{s:05d}.tar")
+        make_shard(path, 3)
+        shards.append(path)
+    ds = WebTarDataset(
+        split="train", return_actions=True, shards=shards,
+        shuffle_buffer=1, resampled=False, shuffle_shards=False,
+        transform=ClipTransform(target_h=36, target_w=64),
+    )
+    items = list(iter(ds))
+    assert len(items) == 6
+    assert items[0]["video"].shape == (5, 3, 36, 64)
+    assert items[0]["actions"].shape == (5, 25)
+
+
+def test_webtar_worker_split(tmp_path):
+    shards = []
+    for s in range(4):
+        path = str(tmp_path / f"{s:05d}.tar")
+        make_shard(path, 2)
+        shards.append(path)
+    seen = []
+    for w in range(2):
+        ds = WebTarDataset(
+            split="train", return_actions=False, shards=shards,
+            shuffle_buffer=1, resampled=False, shuffle_shards=False,
+            worker_index=w, num_workers=2,
+            transform=ClipTransform(target_h=36, target_w=64),
+        )
+        seen.append(len(list(iter(ds))))
+    assert seen == [4, 4]  # 2 shards x 2 samples each worker
+
+
+def test_webtar_cursor_resume(tmp_path):
+    shard = str(tmp_path / "00000.tar")
+    make_shard(shard, 5)
+    ds = WebTarDataset(
+        split="train", return_actions=False, shards=[shard],
+        shuffle_buffer=1, resampled=False, shuffle_shards=False,
+        transform=ClipTransform(target_h=36, target_w=64),
+    )
+    it = iter(ds)
+    next(it)
+    next(it)
+    cursor = list(ds.cursor)
+    # new dataset restored at the cursor sees the remaining 3 samples
+    ds2 = WebTarDataset(
+        split="train", return_actions=False, shards=[shard],
+        shuffle_buffer=1, resampled=False, shuffle_shards=False,
+        transform=ClipTransform(target_h=36, target_w=64),
+    )
+    ds2.cursor = cursor
+    rest = list(iter(ds2))
+    assert len(rest) == 3
+
+
+def test_dummy_dataset_causality_probe():
+    ds = DummyDataset("validation", return_actions=True, height=36, width=64)
+    assert len(ds) == 10
+    sample = ds[0]
+    last = sample["actions"][-1]
+    video = sample["video"]
+    if last[1] == 1:  # action 1 -> green final frame
+        assert video[-1, 1].mean() > 0.9
+    else:  # action 0 -> red final frame
+        assert video[-1, 0].mean() > 0.9
+    assert (sample["actions"][:-1] == 0).all()  # ctx frames: no action
+
+
+def test_dataloader_batches():
+    ds = DummyDataset("train", return_actions=True, height=36, width=64)
+    loader = DataLoader(ds, batch_size=3, num_workers=1)
+    it = iter(loader)
+    b = next(it)
+    assert b.video.shape == (3, 5, 3, 36, 64)
+    assert b.actions.shape == (3, 5, 25)
+
+
+def test_make_dataset_errors():
+    with pytest.raises(ValueError):
+        make_dataset("nope", "train", False)

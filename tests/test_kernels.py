@@ -1,0 +1,77 @@
+"""Pallas fused attention kernel vs the XLA reference path (interpret mode on
+the CPU test mesh; the real-TPU comparison happens in benchmarks)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gtax.kernels import attention as kattn
+from gtax.nn import attention as nnattn
+from tests.conftest import assert_close
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode():
+    kattn.set_interpret(True)
+    yield
+    kattn.set_interpret(False)
+
+
+def rand(key, shape):
+    return jax.random.normal(jax.random.PRNGKey(key), shape, jnp.float32)
+
+
+@pytest.mark.parametrize("S,d", [(5, 16), (12, 16), (48, 32)])
+def test_fused_matches_xla_plain(S, d):
+    q, k, v = rand(0, (6, S, d)), rand(1, (6, S, d)), rand(2, (6, S, d))
+    out = kattn.fused_sdpa(q, k, v)
+    ref = nnattn.sdpa(q, k, v)
+    assert_close(out, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_fused_matches_xla_causal_valid():
+    S, d = 5, 16
+    q, k, v = rand(3, (4, 2, S, d)), rand(4, (4, 2, S, d)), rand(5, (4, 2, S, d))
+    valid = jnp.asarray([False, False, True, True, True])
+    mask = jnp.logical_or(valid[None, :], jnp.eye(S, dtype=bool))
+    out = kattn.fused_sdpa(q, k, v, mask=mask, causal=True)
+    ref = nnattn.sdpa(q, k, v, mask=mask, causal=True)
+    assert_close(out, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_batch_mask_falls_back():
+    S, d = 5, 16
+    q = rand(0, (2, S, d))
+    mask = jnp.ones((2, S, S), bool)
+    assert kattn.fused_sdpa(q, q, q, mask=mask) is None
+
+
+def test_backend_switch_full_model(golden):
+    """Whole small-DiT forward: pallas backend output == xla backend output."""
+    import os
+
+    from gtax.io import safetensors_port as port
+    from gtax.models.dit import dit_apply
+    from tests.conftest import GOLDEN
+    from tests.test_models_parity import DIT_SMALL
+
+    path = os.path.join(GOLDEN, "dit_small.safetensors")
+    if not os.path.exists(path):
+        pytest.skip("run scripts/gen_golden.py first")
+    params, _, _ = port.dit_from_torch(port.read_safetensors(path), DIT_SMALL)
+    g = golden("dit_small.npz")
+    x, t = jnp.asarray(g["x"]), jnp.asarray(g["t"])
+    acts = jnp.asarray(g["actions"])
+    valid = jnp.asarray([True] * 5)
+
+    nnattn.set_backend("xla")
+    ref = dit_apply(params, DIT_SMALL, x, t, acts, valid,
+                    compute_dtype=jnp.float32)
+    nnattn.set_backend("pallas")
+    try:
+        out = dit_apply(params, DIT_SMALL, x, t, acts, valid,
+                        compute_dtype=jnp.float32)
+    finally:
+        nnattn.set_backend("xla")
+    assert_close(out, ref, atol=5e-5, rtol=1e-4)
