@@ -47,9 +47,8 @@ def main():
     dit_params = jax.jit(lambda k: dit_init(k, dit_cfg))(k1)
     vae_params = jax.jit(lambda k: vae_init(k, vae_cfg))(k2)
 
-    def dit_fn(x, t, a, valid):
-        return dit_apply(dit_params, dit_cfg, x, t, a, valid,
-                         compute_dtype=dtype)
+    def dit_fn(params, x, t, a, valid):
+        return dit_apply(params, dit_cfg, x, t, a, valid, compute_dtype=dtype)
 
     sampler = SamplerConfig(ddim_noise_steps=steps, stabilization_level=15)
     rollout = make_rollout(dit_fn, dit_cfg.max_frames, sampler)
@@ -70,7 +69,7 @@ def main():
     num_gen = frames - n_prompt
 
     def run():
-        lat = rollout(latents, actions, jax.random.PRNGKey(2),
+        lat = rollout(dit_params, latents, actions, jax.random.PRNGKey(2),
                       num_gen_frames=num_gen)
         pix = decode(vae_params, lat)
         pix.block_until_ready()

@@ -104,23 +104,24 @@ def main(argv=None):
         else:
             actions = None
 
-    def dit_fn(x, t, a, valid):
-        return dit_apply(dit_params, dit_cfg, x, t, a, valid,
-                         compute_dtype=dtype)
+    def dit_fn(params, x, t, a, valid):
+        return dit_apply(params, dit_cfg, x, t, a, valid, compute_dtype=dtype)
 
     seed = args.seed if args.seed is not None else int(time.time())
     rng = jax.random.PRNGKey(seed)
 
-    latents = encode_frames(vae_params, vae_cfg, jnp.asarray(video), dtype)
+    encode = jax.jit(lambda vp, v: encode_frames(vp, vae_cfg, v, dtype))
+    decode = jax.jit(lambda vp, lat: decode_frames(vp, vae_cfg, lat, dtype))
+    latents = encode(vae_params, jnp.asarray(video))
     rollout = make_rollout(dit_fn, dit_cfg.max_frames, sampler)
 
     t0 = time.perf_counter()
-    lat = rollout(latents, actions, rng,
+    lat = rollout(dit_params, latents, actions, rng,
                   num_gen_frames=total_frames - n_prompt)
     lat.block_until_ready()
     gen_seconds = time.perf_counter() - t0
 
-    pixels = decode_frames(vae_params, vae_cfg, lat, dtype)
+    pixels = decode(vae_params, lat)
     pixels = np.asarray(pixels[0])
     write_video(args.output_path, pixels, fps=10)
     print(f"generation saved to {args.output_path}.")

@@ -116,10 +116,12 @@ def denoise_window(
 def make_rollout(dit_fn, max_frames: int, cfg: SamplerConfig):
     """Build a jittable autoregressive rollout.
 
-    dit_fn(x, t, actions, valid) -> v — a closure over DiT params/config.
-    Returns rollout(prompt_latents, actions, rng) -> (B, total, C, H, W)
-    latents where total = n_prompt + num_gen_frames. `num_gen_frames` is a
-    static argument of the returned function.
+    dit_fn(params, x, t, actions, valid) -> v. Params are threaded through as
+    a jit ARGUMENT — never a closure constant — so the compiled executable
+    does not embed gigabytes of weights as literals.
+
+    Returns rollout(params, prompt_latents, actions, rng, num_gen_frames) ->
+    (B, n_prompt + num_gen_frames, C, H, W) latents; num_gen_frames static.
 
     The reference equivalent is the frame loop at generate.py:200-235; here it
     is a lax.scan whose carry is the (max_frames-1)-slot context buffer.
@@ -128,7 +130,8 @@ def make_rollout(dit_fn, max_frames: int, cfg: SamplerConfig):
     W = max_frames
 
     @partial(jax.jit, static_argnames=("num_gen_frames",))
-    def rollout(prompt_latents, actions, rng, num_gen_frames: int):
+    def rollout(params, prompt_latents, actions, rng, num_gen_frames: int):
+        bound_dit = lambda x, t, a, v: dit_fn(params, x, t, a, v)  # noqa: E731
         B, n_prompt, C, H, Wd = prompt_latents.shape
         assert n_prompt >= 1
         # context buffer: last W-1 frames, left-padded with zeros
@@ -166,7 +169,7 @@ def make_rollout(dit_fn, max_frames: int, cfg: SamplerConfig):
             else:
                 awin = None
             window = denoise_window(
-                dit_fn, window, awin, valid, cfg, abar, noise_range
+                bound_dit, window, awin, valid, cfg, abar, noise_range
             )
             new_frame = window[:, -1]
             ctx_buf = jnp.concatenate([ctx_buf[:, 1:], window[:, -1:]], axis=1)

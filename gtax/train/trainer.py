@@ -186,31 +186,35 @@ class Trainer:
         self.vae_params = jax.device_put(self.vae_params, self.replicated)
         self.opt_state = jax.device_put(self.opt_state, self.replicated)
 
-    def _dit_fn(self, params):
-        remat = self.config.remat
-
-        def fn(x, t, actions, valid):
-            apply = dit_apply
-            if remat:
-                apply = jax.checkpoint(
-                    partial(dit_apply, compute_dtype=self.compute_dtype),
-                    static_argnums=(1,),
-                )
-                return apply(params, self.dit_cfg, x, t, actions, valid)
-            return apply(
-                params, self.dit_cfg, x, t, actions, valid,
+    def _dit_apply(self, params, x, t, actions, valid):
+        """DiT forward with params as an explicit (traced) argument — params
+        must NEVER be captured as jit closure constants from outside a trace
+        (that embeds ~2.7GB of weights into the HLO and stalls compilation)."""
+        def fn(p, x, t, actions, valid):
+            return dit_apply(
+                p, self.dit_cfg, x, t, actions, valid,
                 compute_dtype=self.compute_dtype,
             )
 
-        return fn
+        if self.config.remat:
+            fn = jax.checkpoint(fn)
+        return fn(params, x, t, actions, valid)
+
+    def _dit_fn(self, params):
+        """Bind params inside an enclosing trace (params already traced)."""
+        return lambda x, t, actions, valid: self._dit_apply(
+            params, x, t, actions, valid
+        )
 
     def _build_steps(self):
         cfg = self.config
         accum = cfg.gradient_accumulation_steps
 
-        def loss_for_micro(params, video, actions, rng):
+        def loss_for_micro(params, vae_params, video, actions, rng):
+            # vae_params enter as a jit ARGUMENT (closure-captured weights
+            # would be baked into the HLO as multi-GB constants)
             latents = jax.lax.stop_gradient(
-                encode_frames(self.vae_params, self.vae_cfg, video,
+                encode_frames(vae_params, self.vae_cfg, video,
                               self.compute_dtype)
             )
             mean_loss, sum_loss = diffusion_forcing_loss(
@@ -221,12 +225,12 @@ class Trainer:
 
         grad_fn = jax.value_and_grad(loss_for_micro, has_aux=True)
 
-        def train_step(params, opt_state, video, actions, rng):
+        def train_step(params, opt_state, vae_params, video, actions, rng):
             # video: (accum, B, T, 3, H, W) — micro-batches stacked in front
             def micro(carry, inp):
                 grads_acc, loss_acc = carry
                 v, a, key = inp
-                (_, mean_loss), grads = grad_fn(params, v, a, key)
+                (_, mean_loss), grads = grad_fn(params, vae_params, v, a, key)
                 grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
                 return (grads_acc, loss_acc + mean_loss), None
 
@@ -255,8 +259,9 @@ class Trainer:
 
         self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
 
-        def eval_step(params, video, actions, rng):
-            _, mean_loss = loss_for_micro(params, video, actions, rng)
+        def eval_step(params, vae_params, video, actions, rng):
+            _, mean_loss = loss_for_micro(params, vae_params, video, actions,
+                                          rng)
             return mean_loss
 
         self._eval_step = jax.jit(eval_step)
@@ -333,7 +338,8 @@ class Trainer:
         self.timer.start()
         self.rng, key = jax.random.split(self.rng)
         self.dit_params, self.opt_state, metrics = self._train_step(
-            self.dit_params, self.opt_state, batch.video, batch.actions, key
+            self.dit_params, self.opt_state, self.vae_params, batch.video,
+            batch.actions, key,
         )
         metrics = {k: float(v) for k, v in metrics.items()}
         dt = self.timer.stop()
@@ -358,7 +364,8 @@ class Trainer:
             losses.append(
                 float(
                     self._eval_step(
-                        self.dit_params, batch.video, batch.actions, key
+                        self.dit_params, self.vae_params, batch.video,
+                        batch.actions, key,
                     )
                 )
             )
@@ -393,17 +400,15 @@ class Trainer:
         latents = encode_frames(
             self.vae_params, self.vae_cfg, video, self.compute_dtype
         )
-        key = ("rollout", actions is not None)
-        if key not in self._rollout_cache:
-            self._rollout_cache[key] = make_rollout(
-                self._dit_fn(self.dit_params), self.max_frames, self.sampler_cfg
+        if "rollout" not in self._rollout_cache:
+            # params flow through as a jit argument, so one compiled rollout
+            # serves every future params value
+            self._rollout_cache["rollout"] = make_rollout(
+                self._dit_apply, self.max_frames, self.sampler_cfg
             )
-        # NOTE: dit_fn closes over params; rebuild closure with current params
-        rollout = make_rollout(
-            self._dit_fn(self.dit_params), self.max_frames, self.sampler_cfg
-        )
+        rollout = self._rollout_cache["rollout"]
         self.rng, rkey = jax.random.split(self.rng)
-        lat = rollout(latents, actions, rkey,
+        lat = rollout(self.dit_params, latents, actions, rkey,
                       num_gen_frames=num_frames - latents.shape[1])
         pix = decode_frames(self.vae_params, self.vae_cfg, lat,
                             self.compute_dtype)
@@ -433,9 +438,15 @@ class Trainer:
         )
         abar, noise_range = self.sampler_cfg.tables()
         self.rng, key = jax.random.split(self.rng)
-        out = renoise_last_frame(
-            self._dit_fn(self.dit_params), latents, actions, key,
-            self.sampler_cfg, abar, noise_range,
+        if "renoise" not in self._rollout_cache:
+            self._rollout_cache["renoise"] = jax.jit(
+                lambda p, lat, a, k: renoise_last_frame(
+                    self._dit_fn(p), lat, a, k, self.sampler_cfg, abar,
+                    noise_range,
+                )
+            )
+        out = self._rollout_cache["renoise"](
+            self.dit_params, latents, actions, key
         )
         try:
             from gtax.train.viz import visualize_step

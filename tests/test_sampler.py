@@ -17,18 +17,30 @@ from tests.test_models_parity import DIT_SMALL
 
 
 @pytest.fixture(scope="module")
-def dit_fn():
+def dit_small_params():
     path = os.path.join(GOLDEN, "dit_small.safetensors")
     if not os.path.exists(path):
         pytest.skip("run scripts/gen_golden.py first")
     params, _, _ = port.dit_from_torch(port.read_safetensors(path), DIT_SMALL)
+    return params
 
+
+@pytest.fixture(scope="module")
+def dit_fn(dit_small_params):
     def fn(x, t, actions, valid=None):
         return dit_apply(
-            params, DIT_SMALL, x, t, actions, valid, compute_dtype=jnp.float32
+            dit_small_params, DIT_SMALL, x, t, actions, valid,
+            compute_dtype=jnp.float32,
         )
 
     return fn
+
+
+def dit_fn_p(params, x, t, actions, valid=None):
+    """Params-explicit variant for make_rollout."""
+    return dit_apply(
+        params, DIT_SMALL, x, t, actions, valid, compute_dtype=jnp.float32
+    )
 
 
 @pytest.fixture(scope="module")
@@ -82,7 +94,7 @@ def test_denoise_step_sliding_window_parity(golden, dit_fn, tables):
     assert_close(x_pred[:, 2:], g["x_pred_sw"], atol=5e-3, rtol=1e-3)
 
 
-def test_rollout_matches_python_loop(dit_fn):
+def test_rollout_matches_python_loop(dit_fn, dit_small_params):
     """The jitted nested-scan rollout must equal an explicit Python loop using
     denoise_window on hand-built windows with identical RNG usage."""
     cfg = sd.SamplerConfig(ddim_noise_steps=3, stabilization_level=15,
@@ -94,8 +106,9 @@ def test_rollout_matches_python_loop(dit_fn):
     prompt = jax.random.normal(jax.random.PRNGKey(1), (B, n_prompt, C, H, W))
     actions = jax.random.normal(jax.random.PRNGKey(2), (B, total, 25))
 
-    rollout = sd.make_rollout(dit_fn, max_frames=5, cfg=cfg)
-    lat = rollout(prompt, actions, key0, num_gen_frames=total - n_prompt)
+    rollout = sd.make_rollout(dit_fn_p, max_frames=5, cfg=cfg)
+    lat = rollout(dit_small_params, prompt, actions, key0,
+                  num_gen_frames=total - n_prompt)
 
     # explicit loop
     ctx = prompt  # n_prompt == max_frames - 1
@@ -121,14 +134,15 @@ def test_rollout_matches_python_loop(dit_fn):
     assert_close(lat, manual, atol=1e-4, rtol=1e-4)
 
 
-def test_rollout_short_prompt(dit_fn):
+def test_rollout_short_prompt(dit_small_params):
     """n_prompt=1 (custom start image path): window starts left-padded and
     must still produce finite, committed frames."""
     cfg = sd.SamplerConfig(ddim_noise_steps=2, stabilization_level=15)
     B, C, H, W = 1, 16, 18, 32
     prompt = jax.random.normal(jax.random.PRNGKey(3), (B, 1, C, H, W))
-    rollout = sd.make_rollout(dit_fn, max_frames=5, cfg=cfg)
-    lat = rollout(prompt, None, jax.random.PRNGKey(0), num_gen_frames=6)
+    rollout = sd.make_rollout(dit_fn_p, max_frames=5, cfg=cfg)
+    lat = rollout(dit_small_params, prompt, None, jax.random.PRNGKey(0),
+                  num_gen_frames=6)
     assert lat.shape == (B, 7, C, H, W)
     assert bool(jnp.all(jnp.isfinite(lat)))
 
