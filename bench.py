@@ -46,6 +46,12 @@ def main():
     # device tunnels and irrelevant to the measured path anyway
     dit_params = jax.jit(lambda k: dit_init(k, dit_cfg))(k1)
     vae_params = jax.jit(lambda k: vae_init(k, vae_cfg))(k2)
+    if dtype != jnp.float32 and os.environ.get("GTAX_BENCH_CAST", "1") == "1":
+        from gtax.models.dit import cast_params_for_inference
+
+        dit_params = jax.jit(
+            lambda p: cast_params_for_inference(p, dtype)
+        )(dit_params)
 
     def dit_fn(params, x, t, a, valid):
         return dit_apply(params, dit_cfg, x, t, a, valid, compute_dtype=dtype)

@@ -67,6 +67,12 @@ def main(argv=None):
     vae_cfg = VAE_MODELS["vit-l-20-shallow-encoder"]()
     dit_params = port.load_dit(args.dit_model_path, dit_cfg)
     vae_params = port.load_vae(args.vae_model_path, vae_cfg)
+    if dtype != jnp.float32:
+        from gtax.models.dit import cast_params_for_inference
+
+        dit_params = jax.jit(
+            lambda p: cast_params_for_inference(p, dtype)
+        )(dit_params)
 
     total_frames = args.total_frames
     n_prompt = 4 if args.start_frame is None else 1

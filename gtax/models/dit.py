@@ -242,6 +242,24 @@ def dit_apply(
     return h.reshape(B, T, C, gh * p, gw * p).astype(jnp.float32)
 
 
+def cast_params_for_inference(params, dtype=jnp.bfloat16):
+    """Pre-cast weights to the compute dtype ONCE for serving.
+
+    At B=1 the DiT forward is weight-bandwidth-bound; reading fp32 masters and
+    casting per call doubles HBM traffic. Rotary frequency tables stay fp32 —
+    their rotation math is fp32 by contract (gtax.core.rope) and bf16 storage
+    would corrupt high-frequency phases.
+    """
+
+    def cast(path, leaf):
+        keys = {str(getattr(p, "key", p)) for p in path}
+        if keys & {"spatial_rope_freqs", "temporal_rope_freqs"}:
+            return leaf
+        return leaf.astype(dtype) if jnp.issubdtype(leaf.dtype, jnp.floating) else leaf
+
+    return jax.tree_util.tree_map_with_path(cast, params)
+
+
 def DiT_S_2() -> DiTConfig:
     """Flagship config — ~0.67B params (reference model/dit.py:379-389).
     external_cond_dim stays 25 even for the action-free model, matching the

@@ -180,6 +180,60 @@ def vae_sample(mean, logvar, key):
     return mean + std * jax.random.normal(key, mean.shape, mean.dtype)
 
 
+@dataclasses.dataclass(frozen=True)
+class DiagonalGaussian:
+    """Posterior returned by the encoder — functional equivalent of the
+    reference's DiagonalGaussianDistribution (model/vae.py:19-45): logvar
+    pre-clamped to [-30, 20] by vae_encode; mode() == mean; deterministic
+    posteriors have zero std."""
+
+    mean: jnp.ndarray
+    logvar: jnp.ndarray
+    deterministic: bool = False
+
+    @property
+    def std(self):
+        if self.deterministic:
+            return jnp.zeros_like(self.mean)
+        return jnp.exp(0.5 * self.logvar)
+
+    @property
+    def var(self):
+        if self.deterministic:
+            return jnp.zeros_like(self.mean)
+        return jnp.exp(self.logvar)
+
+    def sample(self, key):
+        return self.mean + self.std * jax.random.normal(
+            key, self.mean.shape, self.mean.dtype
+        )
+
+    def mode(self):
+        return self.mean
+
+
+def vae_posterior(params, cfg: VAEConfig, x, compute_dtype=jnp.bfloat16,
+                  deterministic: bool = False) -> DiagonalGaussian:
+    """encode() returning the posterior object (reference vae.py:306-322)."""
+    mean, logvar = vae_encode(params, cfg, x, compute_dtype)
+    return DiagonalGaussian(mean=mean, logvar=logvar,
+                            deterministic=deterministic)
+
+
+def vae_autoencode(params, cfg: VAEConfig, x, key=None,
+                   sample_posterior: bool = True,
+                   compute_dtype=jnp.bfloat16):
+    """Full encode->sample/mode->decode pass (reference vae.py:340-347).
+    Returns (reconstruction, posterior, z)."""
+    post = vae_posterior(params, cfg, x, compute_dtype)
+    if sample_posterior and key is not None:
+        z = post.sample(key)
+    else:
+        z = post.mode()
+    rec = vae_decode(params, cfg, z, compute_dtype)
+    return rec, post, z
+
+
 def vae_decode(params, cfg: VAEConfig, z, compute_dtype=jnp.bfloat16):
     """latents (N, seq_len, latent_dim) -> pixels (N, 3, H, W) in [-1, 1]
     (reference model/vae.py:324-338; unpatchify :279-304)."""
