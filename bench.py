@@ -10,7 +10,9 @@ vs_baseline is null until a measured torch-reference number exists
 Env knobs:
   GTAX_BENCH_FRAMES (default 32), GTAX_BENCH_STEPS (default 100),
   GTAX_BENCH_DTYPE (bfloat16), GTAX_BENCH_BACKEND (xla|pallas),
-  GTAX_BENCH_REPEATS (default 2 timed runs after 1 warmup).
+  GTAX_BENCH_REPEATS (default 2 timed runs after 1 warmup),
+  GTAX_BENCH_PIPELINE (default 1 = reference-equivalent scheme; >1 enables
+  pyramid-pipelined decoding, ~P-fold fewer DiT calls per frame).
 """
 
 from __future__ import annotations
@@ -56,8 +58,16 @@ def main():
     def dit_fn(params, x, t, a, valid):
         return dit_apply(params, dit_cfg, x, t, a, valid, compute_dtype=dtype)
 
+    pipeline = int(os.environ.get("GTAX_BENCH_PIPELINE", 1))
     sampler = SamplerConfig(ddim_noise_steps=steps, stabilization_level=15)
-    rollout = make_rollout(dit_fn, dit_cfg.max_frames, sampler)
+    if pipeline > 1:
+        from gtax.sampling.diffusion import make_pipelined_rollout
+
+        rollout = make_pipelined_rollout(
+            dit_fn, dit_cfg.max_frames, sampler, pipeline_depth=pipeline
+        )
+    else:
+        rollout = make_rollout(dit_fn, dit_cfg.max_frames, sampler)
 
     n_prompt = 4
     video = jax.random.uniform(
@@ -90,11 +100,12 @@ def main():
     best = min(times)
     fps = num_gen / best
 
+    pipe_tag = f", pipeline_depth={pipeline}" if pipeline > 1 else ""
     result = {
         "metric": (
             f"frames/sec, {frames}-frame {steps}-step action-conditioned "
             f"generation (DiT-S/2 {dtype.name}, {backend} attention, "
-            f"{jax.devices()[0].device_kind})"
+            f"{jax.devices()[0].device_kind}{pipe_tag})"
         ),
         "value": round(fps, 4),
         "unit": "frames/sec",

@@ -53,6 +53,11 @@ def build_parser():
     p.add_argument("--attention_backend", type=str, default="xla",
                    choices=["xla", "pallas"])
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument(
+        "--pipeline_depth", type=int, default=1,
+        help="frames denoised concurrently at staggered noise levels; 1 = "
+             "reference-equivalent scheme, 4 = ~3.5x fewer DiT calls",
+    )
     p.add_argument("--benchmark_json", action="store_true",
                    help="print a timing JSON line at the end")
     return p
@@ -119,7 +124,15 @@ def main(argv=None):
     encode = jax.jit(lambda vp, v: encode_frames(vp, vae_cfg, v, dtype))
     decode = jax.jit(lambda vp, lat: decode_frames(vp, vae_cfg, lat, dtype))
     latents = encode(vae_params, jnp.asarray(video))
-    rollout = make_rollout(dit_fn, dit_cfg.max_frames, sampler)
+    if args.pipeline_depth > 1:
+        from gtax.sampling.diffusion import make_pipelined_rollout
+
+        rollout = make_pipelined_rollout(
+            dit_fn, dit_cfg.max_frames, sampler,
+            pipeline_depth=args.pipeline_depth,
+        )
+    else:
+        rollout = make_rollout(dit_fn, dit_cfg.max_frames, sampler)
 
     t0 = time.perf_counter()
     lat = rollout(dit_params, latents, actions, rng,

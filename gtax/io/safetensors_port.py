@@ -311,7 +311,7 @@ def vae_to_torch(params, cfg: VAEConfig) -> dict[str, np.ndarray]:
 # ------------------------------------------------------------- loaders
 
 def load_dit(path: str, cfg: DiTConfig, verbose: bool = True):
-    state = read_safetensors(path)
+    state = strip_prefix(read_safetensors(path))
     params, missing, unexpected = dit_from_torch(state, cfg)
     if verbose and (missing or unexpected):
         print(
@@ -322,7 +322,7 @@ def load_dit(path: str, cfg: DiTConfig, verbose: bool = True):
 
 
 def load_vae(path: str, cfg: VAEConfig, verbose: bool = True):
-    state = read_safetensors(path)
+    state = strip_prefix(read_safetensors(path))
     params, missing, unexpected = vae_from_torch(state, cfg)
     if verbose and (missing or unexpected):
         print(

@@ -129,3 +129,92 @@ def fused_sdpa(q, k, v, mask=None, causal=False):
     bias = _build_bias(S, mask, causal)
     out = _fused_sdpa_flat(qf, kf, vf, bias, causal=causal)
     return out.reshape(*lead, S, d)
+
+
+# --------------------------------------------------- token-major MHA kernel
+
+def _mha_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, num_heads, scale):
+    """Multi-head attention on TOKEN-MAJOR (BN, S, h*d) tiles.
+
+    The head split happens on VMEM-resident data, so the (S, h) transposes
+    that cost ~2.6ms/forward in HBM on the XLA path (profiled on v5e: d=64
+    sub-lane transposes run at ~11GB/s) never touch HBM at all.
+    """
+    q = q_ref[:]
+    k = k_ref[:]
+    v = v_ref[:]
+    BN, S, HD = q.shape
+    d = HD // num_heads
+    bias = bias_ref[:]
+    for h in range(num_heads):
+        sl = slice(h * d, (h + 1) * d)
+        qh, kh, vh = q[:, :, sl], k[:, :, sl], v[:, :, sl]
+        scores = jax.lax.dot_general(
+            qh, kh, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        scores = scores + bias[None, :, :]
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(q.dtype)
+        o_ref[:, :, sl] = jax.lax.dot_general(
+            probs, vh, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "causal"))
+def _mha_token_major_flat(q, k, v, bias, num_heads, causal=False):
+    """q,k,v: (N, S, h*d) token-major; bias (S, S). Returns (N, S, h*d)."""
+    N, S, HD = q.shape
+    d = HD // num_heads
+    # VMEM: 4 tensors of BN*S*HD*2B + BN fp32 scores S*S*4
+    per_row = 4 * S * HD * q.dtype.itemsize + S * S * 4
+    bn = max(1, min(128, (8 * 1024 * 1024) // per_row))
+    n_pad = (-N) % bn
+    if n_pad:
+        pad = [(0, n_pad), (0, 0), (0, 0)]
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+    grid = (q.shape[0] // bn,)
+    out = pl.pallas_call(
+        functools.partial(
+            _mha_kernel, num_heads=num_heads, scale=1.0 / (d**0.5)
+        ),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bn, S, HD), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, S, HD), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, S, HD), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, S), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bn, S, HD), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=_INTERPRET,
+    )(q, k, v, bias)
+    return out[:N] if n_pad else out
+
+
+def fused_mha_token_major(q, k, v, num_heads, mask=None, causal=False):
+    """Multi-head attention over token-major (..., S, h*d) tensors.
+
+    Equivalent to splitting the last dim into (h, d) heads and attending per
+    head over axis -2; the split never leaves VMEM. mask: None, (S,) validity,
+    or (S, S) boolean; returns None for unsupported patterns (caller falls
+    back to XLA).
+    """
+    S, HD = q.shape[-2], q.shape[-1]
+    if mask is not None:
+        mask = jnp.asarray(mask)
+        if mask.ndim > 2 or (mask.ndim == 2 and mask.shape != (S, S)):
+            return None
+    lead = q.shape[:-2]
+    bias = _build_bias(S, mask, causal)
+    out = _mha_token_major_flat(
+        q.reshape(-1, S, HD), k.reshape(-1, S, HD), v.reshape(-1, S, HD),
+        bias, num_heads, causal=causal,
+    )
+    return out.reshape(*lead, S, HD)

@@ -60,6 +60,9 @@ class DiTConfig:
     mlp_ratio: float = 4.0
     external_cond_dim: int = 25
     max_frames: int = 5
+    # lax.scan unroll factor over the stacked blocks (perf knob: trades
+    # compile time / code size for less loop overhead)
+    scan_unroll: int = 1
 
     @property
     def grid_h(self) -> int:
@@ -229,7 +232,7 @@ def dit_apply(
             None,
         )
 
-    h, _ = jax.lax.scan(body, h, params["blocks"])
+    h, _ = jax.lax.scan(body, h, params["blocks"], unroll=cfg.scan_unroll)
 
     shift, scale = adaln(params["final"]["adaln"], c, 2, compute_dtype)
     h = modulate(layer_norm(h), shift, scale)

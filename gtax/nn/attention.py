@@ -96,6 +96,41 @@ def _merge_heads(x):
     return x.reshape(*lead, S, h * d)
 
 
+def _sdpa_heads_last(q, k, v, mask=None, causal=False):
+    """Attention with layout (..., S, h, d) — heads kept TRAILING so the
+    surrounding reshapes are free (no materialised transposes; the profiler
+    showed head-major transposes costing ~2.5ms/forward on v5e). The einsums
+    carry the head axis as a dot_general batch dim and XLA assigns layouts
+    inside the fused matmuls."""
+    from gtax.nn.layers import matmul_precision
+
+    d = q.shape[-1]
+    S = q.shape[-3]
+    scale = 1.0 / (d**0.5)
+    precision = matmul_precision(q.dtype)
+    logits = (
+        jnp.einsum(
+            "...qhd,...khd->...hqk", q, k,
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        * scale
+    )
+    if causal:
+        causal_mask = jnp.tril(jnp.ones((S, S), dtype=bool))
+        mask = causal_mask if mask is None else jnp.logical_and(mask, causal_mask)
+    if mask is not None:
+        logits = jnp.where(mask, logits, jnp.float32(-1e30))
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum(
+        "...hqk,...khd->...qhd",
+        probs.astype(q.dtype),
+        v,
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    return out.astype(q.dtype)
+
+
 def spatial_axial_attention(
     params, x, rope_freqs, num_heads: int, compute_dtype=jnp.bfloat16
 ):
@@ -104,27 +139,42 @@ def spatial_axial_attention(
     x: (B, T, H, W, D). rope_freqs: (H, W, rot_dim) pixel axial table applied
     to q/k before flattening the grid (reference model/attention.py:109-129).
     qkv has no bias; the output projection does (model/attention.py:86-87).
+    Heads stay trailing end-to-end — only free reshapes around the einsums.
     """
     from gtax.nn.layers import linear
 
     B, T, H, W, D = x.shape
+    d = D // num_heads
     qkv = linear(params["qkv"], x, compute_dtype)  # (B,T,H,W,3D)
     q, k, v = jnp.split(qkv, 3, axis=-1)
-
-    def heads_grid(t):  # (B,T,H,W,D) -> (B,T,h,H,W,d)
-        t = t.reshape(B, T, H, W, num_heads, D // num_heads)
-        return t.transpose(0, 1, 4, 2, 3, 5)
-
-    q, k, v = heads_grid(q), heads_grid(k), heads_grid(v)
-    q = rope.apply_rotary_emb(rope_freqs, q)
-    k = rope.apply_rotary_emb(rope_freqs, k)
+    # (B,T,H,W,h,d): pure reshape; rope broadcasts over the head axis
+    q = q.reshape(B, T, H, W, num_heads, d)
+    k = k.reshape(B, T, H, W, num_heads, d)
+    v = v.reshape(B, T, H, W, num_heads, d)
+    rf = rope_freqs[:, :, None, :]  # (H, W, 1, rot)
+    q = rope.apply_rotary_emb(rf, q)
+    k = rope.apply_rotary_emb(rf, k)
     hw = H * W
-    q = q.reshape(B, T, num_heads, hw, D // num_heads)
-    k = k.reshape(B, T, num_heads, hw, D // num_heads)
-    v = v.reshape(B, T, num_heads, hw, D // num_heads)
-    out = sdpa(q, k, v)
-    out = out.reshape(B, T, num_heads, H, W, D // num_heads)
-    out = out.transpose(0, 1, 3, 4, 2, 5).reshape(B, T, H, W, D)
+    if get_backend() == "pallas":
+        from gtax.kernels.attention import fused_mha_token_major
+
+        out = fused_mha_token_major(
+            q.reshape(B, T, hw, D), k.reshape(B, T, hw, D),
+            v.reshape(B, T, hw, D), num_heads,
+        )
+        if out is None:
+            out = _sdpa_heads_last(
+                q.reshape(B, T, hw, num_heads, d),
+                k.reshape(B, T, hw, num_heads, d),
+                v.reshape(B, T, hw, num_heads, d),
+            )
+    else:
+        out = _sdpa_heads_last(
+            q.reshape(B, T, hw, num_heads, d),
+            k.reshape(B, T, hw, num_heads, d),
+            v.reshape(B, T, hw, num_heads, d),
+        )
+    out = out.reshape(B, T, H, W, D)
     return linear(params["out"], out, compute_dtype)
 
 
@@ -144,30 +194,78 @@ def temporal_axial_attention(
     marks padding slots whose keys must be masked out; the diagonal stays
     enabled so padded queries (whose outputs are discarded) never softmax over
     an empty row. Reference: model/attention.py:41-71 with SDPA is_causal.
+
+    Layout: T stays at axis 1 and heads trailing; attention runs as
+    "bqshd,bkshd->bshqk" einsums so no activation transpose materialises.
     """
-    from gtax.nn.layers import linear
+    from gtax.nn.layers import linear, matmul_precision
 
     B, T, H, W, D = x.shape
+    d = D // num_heads
+    S = H * W
     qkv = linear(params["qkv"], x, compute_dtype)
     q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = q.reshape(B, T, S, num_heads, d)
+    k = k.reshape(B, T, S, num_heads, d)
+    v = v.reshape(B, T, S, num_heads, d)
+    # rope over the T axis (axis 1): freqs (T, rot) -> (T, 1, 1, rot)
+    rf = rope_freqs[:, None, None, :]
+    q = rope.apply_rotary_emb(rf, q)
+    k = rope.apply_rotary_emb(rf, k)
 
-    def heads_time(t):  # (B,T,H,W,D) -> (B,H,W,h,T,d)
-        t = t.reshape(B, T, H, W, num_heads, D // num_heads)
-        return t.transpose(0, 2, 3, 4, 1, 5)
-
-    q, k, v = heads_time(q), heads_time(k), heads_time(v)
-    q = rope.apply_rotary_emb(rope_freqs, q)
-    k = rope.apply_rotary_emb(rope_freqs, k)
-
-    mask = None
+    causal = jnp.tril(jnp.ones((T, T), dtype=bool))
     if valid is not None:
-        key_ok = valid[..., None, :]  # (..., 1, T)
-        mask = jnp.logical_or(key_ok, jnp.eye(T, dtype=bool))
-        if valid.ndim == 2:  # (B, T) -> (B, 1, 1, 1, T, T)
-            mask = mask.reshape(B, 1, 1, 1, T, T)
-    out = sdpa(q, k, v, mask=mask, causal=True)
-    out = out.transpose(0, 4, 1, 2, 3, 5).reshape(B, T, H, W, D)
+        key_ok = jnp.logical_or(valid[..., None, :], jnp.eye(T, dtype=bool))
+        mask = jnp.logical_and(causal, key_ok)  # (T,T) or (B,T,T)
+    else:
+        mask = causal
+
+    if get_backend() == "pallas" and mask.ndim == 2:
+        # token-major kernel over (B, S, T, h*d): one cheap large-lane
+        # transpose instead of per-head sub-lane transposes
+        from gtax.kernels.attention import fused_mha_token_major
+
+        qt = q.reshape(B, T, S, D).transpose(0, 2, 1, 3)
+        kt = k.reshape(B, T, S, D).transpose(0, 2, 1, 3)
+        vt = v.reshape(B, T, S, D).transpose(0, 2, 1, 3)
+        out = fused_mha_token_major(qt, kt, vt, num_heads, mask=mask)
+        if out is not None:
+            out = out.transpose(0, 2, 1, 3).reshape(B, T, H, W, D)
+            return linear(params["out"], out, compute_dtype)
+
+    if mask.ndim == 3:
+        mask = mask[:, None, None]  # (B,1,1,T,T)
+    precision = matmul_precision(jnp.dtype(compute_dtype))
+    logits = (
+        jnp.einsum(
+            "bqshd,bkshd->bshqk", q, k,
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        * (1.0 / d**0.5)
+    )
+    logits = jnp.where(mask, logits, jnp.float32(-1e30))
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum(
+        "bshqk,bkshd->bqshd", probs.astype(q.dtype), v,
+        preferred_element_type=jnp.float32, precision=precision,
+    ).astype(q.dtype)
+    out = out.reshape(B, T, H, W, D)
     return linear(params["out"], out, compute_dtype)
+
+
+def _pallas_heads_last(q, k, v, mask, causal):
+    """Route a heads-last (..., S, h, d) attention through the Pallas fused
+    kernel (which wants (..., S, d) rows); falls back to the XLA einsum path
+    when the kernel declines the pattern."""
+    from gtax.kernels import attention as kattn
+
+    qq = jnp.moveaxis(q, -2, -3)
+    kk = jnp.moveaxis(k, -2, -3)
+    vv = jnp.moveaxis(v, -2, -3)
+    out = kattn.fused_sdpa(qq, kk, vv, mask=mask, causal=causal)
+    if out is None:
+        return _sdpa_heads_last(q, k, v, mask=mask, causal=causal)
+    return jnp.moveaxis(out, -3, -2)
 
 
 def vae_frame_attention(
@@ -178,20 +276,33 @@ def vae_frame_attention(
     x: (N, S, D) with S = H*W. rope_freqs: (H, W, rot_dim) where
     rot_dim = 2 * (head_dim//4) * 2 — only the first rot_dim head dims rotate,
     the rest pass through (reference model/vae.py:71-99). qkv and proj both
-    carry biases (qkv_bias=True, model/vae.py:203).
+    carry biases (qkv_bias=True, model/vae.py:203). Heads-last layout: free
+    reshapes only.
     """
     from gtax.nn.layers import linear
 
     N, S, D = x.shape
     H, W = grid_hw
+    d = D // num_heads
     qkv = linear(params["qkv"], x, compute_dtype)
     q, k, v = jnp.split(qkv, 3, axis=-1)
-    q, k, v = (_split_heads(t, num_heads) for t in (q, k, v))  # (N,h,S,d)
-    d = D // num_heads
-    q = rope.apply_rotary_emb(rope_freqs, q.reshape(N, num_heads, H, W, d))
-    k = rope.apply_rotary_emb(rope_freqs, k.reshape(N, num_heads, H, W, d))
-    q = q.reshape(N, num_heads, S, d)
-    k = k.reshape(N, num_heads, S, d)
-    out = sdpa(q, k, v)
-    out = _merge_heads(out)
+    q = q.reshape(N, H, W, num_heads, d)
+    k = k.reshape(N, H, W, num_heads, d)
+    v = v.reshape(N, S, num_heads, d)
+    rf = rope_freqs[:, :, None, :]
+    q = rope.apply_rotary_emb(rf, q)
+    k = rope.apply_rotary_emb(rf, k)
+    if get_backend() == "pallas":
+        from gtax.kernels.attention import fused_mha_token_major
+
+        out = fused_mha_token_major(
+            q.reshape(N, S, D), k.reshape(N, S, D), v.reshape(N, S, D),
+            num_heads,
+        )
+        if out is not None:
+            return linear(params["out"], out, compute_dtype)
+    out = _sdpa_heads_last(
+        q.reshape(N, S, num_heads, d), k.reshape(N, S, num_heads, d), v
+    )
+    out = out.reshape(N, S, D)
     return linear(params["out"], out, compute_dtype)

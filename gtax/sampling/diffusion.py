@@ -207,6 +207,146 @@ def renoise_last_frame(
     return denoise_window(dit_fn, x, actions, None, cfg, alphas_cumprod, noise_range)
 
 
+def make_pipelined_rollout(dit_fn, max_frames: int, cfg: SamplerConfig,
+                           pipeline_depth: int = 4):
+    """Pyramid-pipelined autoregressive rollout: up to `pipeline_depth` frames
+    are in flight simultaneously at staggered noise levels, so each DiT call
+    advances P frames by one DDIM step instead of one — ~P times fewer model
+    calls per generated frame than the reference scheme, with every frame
+    still traversing the full noise_steps DDIM trajectory.
+
+    Why this is sound for diffusion forcing: the model is TRAINED with
+    noisy context frames (per-frame noise indices sampled up to
+    ctx_max_noise_idx — reference train_dit.py:573-587) and conditions on a
+    per-frame noise level embedding, so windows whose context is mid-denoise
+    are in-distribution. Causal temporal attention guarantees each in-flight
+    frame only attends to older (less-noisy) frames. pipeline_depth trades
+    context cleanliness for speed:
+      P=1  == the reference scheme (4 clean context frames);
+      P=4  == 1 clean + 4 in-flight (fastest).
+
+    Returns rollout(params, prompt_latents, actions, rng, num_gen_frames).
+    """
+    abar, noise_range = cfg.tables()
+    W = max_frames
+    P = pipeline_depth
+    assert 1 <= P < W + 1
+    steps = cfg.ddim_noise_steps
+    stride = -(-(steps + 1) // P)  # ceil: calls per emitted frame
+    n_ctx_slots = W - P
+
+    @partial(jax.jit, static_argnames=("num_gen_frames",))
+    def rollout(params, prompt_latents, actions, rng, num_gen_frames: int):
+        bound_dit = lambda x, t, a, v: dit_fn(params, x, t, a, v)  # noqa: E731
+        B, n_prompt, C, H, Wd = prompt_latents.shape
+        n_cycles = num_gen_frames + P - 1
+
+        # clean-context buffer: last n_ctx_slots prompt frames, left-padded
+        n_fill = min(n_prompt, n_ctx_slots)
+        ctx = prompt_latents[:, n_prompt - n_fill:]
+        ctx_valid0 = jnp.asarray(
+            [False] * (n_ctx_slots - n_fill) + [True] * n_fill
+        )
+        if n_fill < n_ctx_slots:
+            pad = jnp.zeros((B, n_ctx_slots - n_fill, C, H, Wd),
+                            prompt_latents.dtype)
+            ctx = jnp.concatenate([pad, ctx], axis=1)
+
+        if actions is not None:
+            A = actions.shape[-1]
+            # front pad W-1 (left context), back pad P (in-flight frames near
+            # the end of the rollout overshoot the action horizon; their
+            # outputs are discarded)
+            actions_padded = jnp.concatenate(
+                [
+                    jnp.zeros((B, W - 1, A), actions.dtype),
+                    actions,
+                    jnp.zeros((B, P, A), actions.dtype),
+                ],
+                axis=1,
+            )
+        else:
+            actions_padded = None
+
+        inflight0 = jnp.zeros((B, P, C, H, Wd), jnp.float32)
+        slot_ids = jnp.arange(P)
+
+        def cycle(carry, c):
+            ctx, ctx_valid, inflight, key = carry
+            key, sub = jax.random.split(key)
+            fresh = jnp.clip(
+                jax.random.normal(sub, (B, 1, C, H, Wd), jnp.float32),
+                -cfg.noise_abs_max, cfg.noise_abs_max,
+            )
+            inflight = jnp.concatenate([inflight[:, 1:], fresh], axis=1)
+            # in-flight slot k active iff its frame has started: slot k's
+            # frame is emitted at cycle c + k, so it is active when
+            # c + k <= n_cycles - 1 AND it entered (cycle c - (P-1-k) >= 0)
+            active = (c - (P - 1 - slot_ids)) >= 0
+            # window frame index base (for actions): emitted frame of this
+            # cycle is n_prompt + c - (P-1); window slot j holds frame
+            # base + j with base as below, offset into the front-padded array
+            if actions_padded is not None:
+                start = n_prompt + c - (P - 1) - n_ctx_slots + (W - 1)
+                awin = jax.lax.dynamic_slice(
+                    actions_padded, (0, start, 0),
+                    (B, W, actions_padded.shape[-1]),
+                )
+            else:
+                awin = None
+            valid = jnp.concatenate([ctx_valid, active])
+
+            def call(inflight2, p):
+                idxs = jnp.clip(slot_ids * stride + p, 0, steps)
+                t_infl = noise_range[idxs]  # (P,)
+                t = jnp.concatenate(
+                    [
+                        jnp.full((B, n_ctx_slots), cfg.stabilization_level,
+                                 jnp.int32),
+                        jnp.broadcast_to(t_infl[None, :], (B, P)).astype(
+                            jnp.int32
+                        ),
+                    ],
+                    axis=1,
+                )
+                window = jnp.concatenate([ctx, inflight2], axis=1)
+                v = bound_dit(window, t, awin, valid).astype(jnp.float32)
+                v_infl = v[:, n_ctx_slots:]
+                a_t = abar[t_infl][None, :, None, None, None]
+                x = inflight2.astype(jnp.float32)
+                x_start = jnp.sqrt(a_t) * x - jnp.sqrt(1 - a_t) * v_infl
+                x_noise = (jnp.sqrt(1 / a_t) * x - x_start) / jnp.sqrt(
+                    1 / a_t - 1
+                )
+                idx_next = jnp.clip(idxs - 1, 0, steps)
+                a_n = abar[noise_range[idx_next]][None, :, None, None, None]
+                x_pred = jnp.sqrt(a_n) * x_start + jnp.sqrt(1 - a_n) * x_noise
+                final = (idxs <= 0)[None, :, None, None, None]
+                return jnp.where(final, x_start, x_pred), None
+
+            inflight, _ = jax.lax.scan(
+                call, inflight, jnp.arange(stride - 1, -1, -1)
+            )
+            emitted = inflight[:, 0]
+            # emitted frames only become context once real (post warm-up)
+            emit_ok = c >= (P - 1)
+            new_ctx = jnp.concatenate([ctx[:, 1:], inflight[:, :1]], axis=1)
+            new_ctx_valid = jnp.concatenate(
+                [ctx_valid[1:], jnp.asarray([True])]
+            )
+            ctx = jnp.where(emit_ok, new_ctx, ctx)
+            ctx_valid = jnp.where(emit_ok, new_ctx_valid, ctx_valid)
+            return (ctx, ctx_valid, inflight, key), emitted
+
+        (_, _, _, _), emitted = jax.lax.scan(
+            cycle, (ctx, ctx_valid0, inflight0, rng), jnp.arange(n_cycles)
+        )
+        frames = jnp.moveaxis(emitted[P - 1:], 0, 1)  # drop warm-up output
+        return jnp.concatenate([prompt_latents, frames], axis=1)
+
+    return rollout
+
+
 # --------------------------------------------------------------- training loss
 
 

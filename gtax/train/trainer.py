@@ -375,6 +375,7 @@ class Trainer:
         if first_batch is not None:
             try:
                 self.predict(first_batch)
+                self.predict_noise(first_batch)
             except Exception as e:  # evals must never kill training
                 logger.warning("predict eval failed: %r", e)
         return avg
