@@ -275,6 +275,7 @@ class Trainer:
         """Main loop (reference train(), train_dit.py:851-1035)."""
         cfg = self.config
         callbacks = callbacks or []
+        self.train_dataset = getattr(train_loader, "dataset", None)
         if cfg.resume_from_checkpoint:
             self.try_resume()
 
@@ -512,12 +513,17 @@ class Trainer:
         ckptr.save(os.path.join(path, f"state_{self.global_step}"), state)
         ckptr.wait_until_finished()
         if jax.process_index() == 0:
+            meta = {"step": self.global_step, "epoch": epoch,
+                    "time": time.time()}
+            # resumable stream position for the tar-streaming backend —
+            # capability the reference's webdataset path lacks
+            # (reference train_dit.py:1051-1053)
+            cursor = getattr(getattr(self, "train_dataset", None), "cursor",
+                             None)
+            if cursor is not None:
+                meta["data_cursor"] = list(cursor)
             with open(os.path.join(path, "step.json"), "w") as f:
-                json.dump(
-                    {"step": self.global_step, "epoch": epoch,
-                     "time": time.time()},
-                    f,
-                )
+                json.dump(meta, f)
         logger.warning("Saved checkpoint for step %d", self.global_step)
 
     def try_resume(self):
@@ -534,6 +540,9 @@ class Trainer:
             state_meta = json.load(f)
         self.global_step = state_meta["step"]
         self.start_epoch = state_meta["epoch"]
+        if "data_cursor" in state_meta and hasattr(self, "train_dataset"):
+            if hasattr(self.train_dataset, "cursor"):
+                self.train_dataset.cursor = list(state_meta["data_cursor"])
         ckptr = ocp.StandardCheckpointer()
         template = {
             "params": jax.device_get(self.dit_params),
