@@ -1,0 +1,150 @@
+"""Fused DiT spatial-attention branch as one Pallas kernel.
+
+Replaces the XLA op chain
+    LN -> modulate -> qkv GEMM -> rope -> attention -> out GEMM -> gate -> +x
+for one spatiotemporal block's spatial half with a single VMEM-resident
+kernel. Profiling the XLA path on v5e showed ~45% of forward time in layout
+copies and LN/modulate elementwise chains bouncing through HBM; here the
+intermediates never leave VMEM:
+
+  - per grid step the kernel processes one frame's 144-token tile;
+  - rotate_half is a constant (d, d) signed-permutation MATMUL instead of
+    sub-lane shuffles (the TPU-slow part of standard rope);
+  - qkv (D x 3D) and out (D x D) weights are VMEM-resident across grid steps
+    (~8 MB bf16);
+  - LN statistics, softmax, and both GEMM accumulations run in fp32.
+
+Inference path only (the training step keeps the XLA graph, which autodiff
+handles); enabled via attention backend "pallas" + DiTConfig.fused_blocks or
+directly through `fused_spatial_branch`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gtax.kernels.attention import _INTERPRET
+
+
+def rotate_half_matrix(d: int) -> np.ndarray:
+    """R such that x @ R == rotate_half(x) for interleaved pairs
+    (gtax.core.rope.rotate_half)."""
+    R = np.zeros((d, d), np.float32)
+    for i in range(d // 2):
+        R[2 * i + 1, 2 * i] = -1.0
+        R[2 * i, 2 * i + 1] = 1.0
+    return R
+
+
+def _kernel(x_ref, shift_ref, scale_ref, gate_ref, qkvw_ref, outw_ref,
+            outb_ref, cos_ref, sin_ref, rot_ref, o_ref, *, num_heads,
+            ln_eps, mod_eps):
+    i = pl.program_id(0)
+    x = x_ref[0]  # (S, D) bf16
+    S, D = x.shape
+    d = D // num_heads
+
+    # LayerNorm (no affine) in fp32
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    ln = (x32 - mean) * jax.lax.rsqrt(var + ln_eps)
+
+    # adaLN modulate (scale/shift per frame): x*(1+s+eps)+b
+    scale = scale_ref[i].astype(jnp.float32)
+    shift = shift_ref[i].astype(jnp.float32)
+    mod = (ln * (1.0 + scale + mod_eps) + shift).astype(x.dtype)
+
+    # fused qkv GEMM
+    qkv = jnp.dot(mod, qkvw_ref[:], preferred_element_type=jnp.float32)
+    q, k, v = qkv[:, :D], qkv[:, D:2 * D], qkv[:, 2 * D:]
+
+    # rope via signed-permutation matmul, applied headwise through reshape
+    cos = cos_ref[:]  # (S, d) fp32
+    sin = sin_ref[:]
+    R = rot_ref[:]    # (d, d) fp32
+
+    def rope_apply(t):  # t: (S, D) fp32
+        th = t.reshape(S, num_heads, d)
+        rot = jax.lax.dot_general(
+            th, R, (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out = th * cos[:, None, :] + rot * sin[:, None, :]
+        return out
+
+    qh = rope_apply(q).astype(x.dtype)   # (S, h, d)
+    kh = rope_apply(k).astype(x.dtype)
+    vh = v.reshape(S, num_heads, d).astype(x.dtype)
+
+    scale_attn = 1.0 / (d**0.5)
+    out_acc = jnp.zeros((S, num_heads, d), jnp.float32)
+    for h in range(num_heads):
+        qs, ks, vs = qh[:, h, :], kh[:, h, :], vh[:, h, :]
+        scores = jax.lax.dot_general(
+            qs, ks, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale_attn
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
+        av = jnp.dot(probs, vs, preferred_element_type=jnp.float32)
+        out_acc = out_acc.at[:, h, :].set(av)
+
+    attn_out = out_acc.reshape(S, D).astype(x.dtype)
+
+    # output projection + bias
+    y = jnp.dot(attn_out, outw_ref[:], preferred_element_type=jnp.float32)
+    y = y + outb_ref[0].astype(jnp.float32)
+
+    # gated residual
+    g = gate_ref[i].astype(jnp.float32)
+    o_ref[0] = (x32 + g * y).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads",))
+def fused_spatial_branch(x, shift, scale, gate, qkv_w, out_w, out_b,
+                         rope_freqs, num_heads):
+    """x: (N, S, D) per-frame token tiles; shift/scale/gate: (N, D);
+    qkv_w: (D, 3D); out_w: (D, D); out_b: (D,);
+    rope_freqs: (S, rot_dim) pixel-axial table (rot_dim == head_dim).
+    Returns x + gate * SpatialAttention(modulate(LN(x))).
+    """
+    N, S, D = x.shape
+    d = D // num_heads
+    cos = jnp.cos(rope_freqs.astype(jnp.float32))
+    sin = jnp.sin(rope_freqs.astype(jnp.float32))
+    R = jnp.asarray(rotate_half_matrix(d))
+    out_b = out_b.reshape(1, -1)
+    grid = (N,)
+    return pl.pallas_call(
+        functools.partial(
+            _kernel, num_heads=num_heads, ln_eps=1e-6, mod_eps=1e-6
+        ),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, S, D), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # per-frame vectors: full arrays resident, row-indexed in-kernel
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, 3 * D), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, S, D), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=_INTERPRET,
+    )(x, shift, scale, gate, qkv_w, out_w, out_b, cos, sin, R)

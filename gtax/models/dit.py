@@ -163,13 +163,31 @@ def _block_init(key, D, H4, H6):
 def _block_apply(x, c, bp, spatial_freqs, temporal_freqs, num_heads, valid, dtype):
     """One SpatioTemporalDiTBlock (reference model/dit.py:200-225)."""
     sh1, sc1, g1, sh2, sc2, g2 = adaln(bp["s_adaln"], c, 6, dtype)
-    x = x + gate(
-        attn.spatial_axial_attention(
-            bp["s_attn"], modulate(layer_norm(x), sh1, sc1), spatial_freqs,
-            num_heads, dtype,
-        ),
-        g1,
-    )
+    if attn.get_backend() == "fused":
+        # whole spatial attention branch as one VMEM-resident Pallas kernel
+        from gtax.kernels.block import fused_spatial_branch
+
+        B, T, gh, gw, D = x.shape
+        S = gh * gw
+        x = fused_spatial_branch(
+            x.reshape(B * T, S, D),
+            sh1.reshape(B * T, D),
+            sc1.reshape(B * T, D),
+            g1.reshape(B * T, D),
+            bp["s_attn"]["qkv"]["kernel"].astype(dtype),
+            bp["s_attn"]["out"]["kernel"].astype(dtype),
+            bp["s_attn"]["out"]["bias"],
+            spatial_freqs.reshape(S, -1),
+            num_heads,
+        ).reshape(B, T, gh, gw, D)
+    else:
+        x = x + gate(
+            attn.spatial_axial_attention(
+                bp["s_attn"], modulate(layer_norm(x), sh1, sc1), spatial_freqs,
+                num_heads, dtype,
+            ),
+            g1,
+        )
     x = x + gate(mlp(bp["s_mlp"], modulate(layer_norm(x), sh2, sc2), gelu_tanh, dtype), g2)
 
     th1, tc1, tg1, th2, tc2, tg2 = adaln(bp["t_adaln"], c, 6, dtype)

@@ -29,8 +29,10 @@ _BACKEND = "xla"
 
 
 def set_backend(name: str) -> None:
+    """xla: reference-semantics einsum path. pallas: fused attention kernels.
+    fused: whole-branch Pallas megakernels (inference fast path)."""
     global _BACKEND
-    assert name in ("xla", "pallas"), name
+    assert name in ("xla", "pallas", "fused"), name
     _BACKEND = name
 
 
