@@ -122,7 +122,7 @@ def dit_from_torch(state: dict[str, np.ndarray], cfg: DiTConfig):
         },
         "spatial_rope_freqs": take_rope(
             "spatial_rotary_emb.freqs", "s_attn.rotary_emb.freqs",
-            _rope.pixel_freqs(cfg.head_dim // 4, max_freq=256.0),
+            _rope.pixel_freqs(cfg.head_dim // 2, max_freq=256.0),
         ),
         "temporal_rope_freqs": take_rope(
             "temporal_rotary_emb.freqs", "t_attn.rotary_emb.freqs",

@@ -45,7 +45,6 @@ def rotate_half_matrix(d: int) -> np.ndarray:
 def _kernel(x_ref, shift_ref, scale_ref, gate_ref, qkvw_ref, outw_ref,
             outb_ref, cos_ref, sin_ref, rot_ref, o_ref, *, num_heads,
             ln_eps, mod_eps):
-    i = pl.program_id(0)
     x = x_ref[0]  # (S, D) bf16
     S, D = x.shape
     d = D // num_heads
@@ -57,36 +56,30 @@ def _kernel(x_ref, shift_ref, scale_ref, gate_ref, qkvw_ref, outw_ref,
     ln = (x32 - mean) * jax.lax.rsqrt(var + ln_eps)
 
     # adaLN modulate (scale/shift per frame): x*(1+s+eps)+b
-    scale = scale_ref[i].astype(jnp.float32)
-    shift = shift_ref[i].astype(jnp.float32)
+    scale = scale_ref[0, 0].astype(jnp.float32)
+    shift = shift_ref[0, 0].astype(jnp.float32)
     mod = (ln * (1.0 + scale + mod_eps) + shift).astype(x.dtype)
 
     # fused qkv GEMM
     qkv = jnp.dot(mod, qkvw_ref[:], preferred_element_type=jnp.float32)
     q, k, v = qkv[:, :D], qkv[:, D:2 * D], qkv[:, 2 * D:]
 
-    # rope via signed-permutation matmul, applied headwise through reshape
+    # rope via signed-permutation matmul on per-head lane slices (Mosaic has
+    # no lane-dim reshape, so heads are processed as 64-lane slices of D)
     cos = cos_ref[:]  # (S, d) fp32
     sin = sin_ref[:]
     R = rot_ref[:]    # (d, d) fp32
 
-    def rope_apply(t):  # t: (S, D) fp32
-        th = t.reshape(S, num_heads, d)
-        rot = jax.lax.dot_general(
-            th, R, (((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        out = th * cos[:, None, :] + rot * sin[:, None, :]
-        return out
-
-    qh = rope_apply(q).astype(x.dtype)   # (S, h, d)
-    kh = rope_apply(k).astype(x.dtype)
-    vh = v.reshape(S, num_heads, d).astype(x.dtype)
-
     scale_attn = 1.0 / (d**0.5)
-    out_acc = jnp.zeros((S, num_heads, d), jnp.float32)
+    head_outs = []
     for h in range(num_heads):
-        qs, ks, vs = qh[:, h, :], kh[:, h, :], vh[:, h, :]
+        sl = slice(h * d, (h + 1) * d)
+        qs32, ks32 = q[:, sl], k[:, sl]
+        qs = (qs32 * cos + jnp.dot(
+            qs32, R, preferred_element_type=jnp.float32) * sin).astype(x.dtype)
+        ks = (ks32 * cos + jnp.dot(
+            ks32, R, preferred_element_type=jnp.float32) * sin).astype(x.dtype)
+        vs = v[:, sl].astype(x.dtype)
         scores = jax.lax.dot_general(
             qs, ks, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -94,17 +87,18 @@ def _kernel(x_ref, shift_ref, scale_ref, gate_ref, qkvw_ref, outw_ref,
         m = jnp.max(scores, axis=-1, keepdims=True)
         e = jnp.exp(scores - m)
         probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
-        av = jnp.dot(probs, vs, preferred_element_type=jnp.float32)
-        out_acc = out_acc.at[:, h, :].set(av)
-
-    attn_out = out_acc.reshape(S, D).astype(x.dtype)
+        head_outs.append(
+            jnp.dot(probs, vs, preferred_element_type=jnp.float32)
+        )
+    # heads are contiguous d-slices of D in (h, d) order
+    attn_out = jnp.concatenate(head_outs, axis=-1).astype(x.dtype)
 
     # output projection + bias
     y = jnp.dot(attn_out, outw_ref[:], preferred_element_type=jnp.float32)
-    y = y + outb_ref[0].astype(jnp.float32)
+    y = y + outb_ref[0, 0].astype(jnp.float32)
 
     # gated residual
-    g = gate_ref[i].astype(jnp.float32)
+    g = gate_ref[0, 0].astype(jnp.float32)
     o_ref[0] = (x32 + g * y).astype(o_ref.dtype)
 
 
@@ -121,7 +115,10 @@ def fused_spatial_branch(x, shift, scale, gate, qkv_w, out_w, out_b,
     cos = jnp.cos(rope_freqs.astype(jnp.float32))
     sin = jnp.sin(rope_freqs.astype(jnp.float32))
     R = jnp.asarray(rotate_half_matrix(d))
-    out_b = out_b.reshape(1, -1)
+    out_b = out_b.reshape(1, 1, -1)
+    shift = shift.reshape(N, 1, D)
+    scale = scale.reshape(N, 1, D)
+    gate = gate.reshape(N, 1, D)
     grid = (N,)
     return pl.pallas_call(
         functools.partial(
@@ -132,17 +129,21 @@ def fused_spatial_branch(x, shift, scale, gate, qkv_w, out_w, out_b,
         in_specs=[
             pl.BlockSpec((1, S, D), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            # per-frame vectors: full arrays resident, row-indexed in-kernel
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            # per-frame vectors as (N,1,D), one (1,1,D) block per step —
+            # dynamic sublane indexing is not provably aligned for Mosaic
+            pl.BlockSpec((1, 1, D), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((D, 3 * D), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((D, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, S, D), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),

@@ -116,7 +116,10 @@ def dit_init(key, cfg: DiTConfig):
             "fc1": lin(next(keys), 256, D, std=0.01),
             "fc2": lin(next(keys), D, D, std=0.01),
         },
-        "spatial_rope_freqs": rope.pixel_freqs(cfg.head_dim // 4, max_freq=256.0),
+        # reference: RotaryEmbedding(dim=head_dim//2, freqs_for="pixel",
+        # max_freq=256) -> dim//2 = head_dim//4 freqs; the 2-axis axial table
+        # then spans the full head_dim (model/dit.py:259-261)
+        "spatial_rope_freqs": rope.pixel_freqs(cfg.head_dim // 2, max_freq=256.0),
         "temporal_rope_freqs": rope.lang_freqs(cfg.head_dim),
         "blocks": stack(
             lambda k: _block_init(k, D, H4, H6)
