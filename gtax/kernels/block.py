@@ -102,6 +102,94 @@ def _kernel(x_ref, shift_ref, scale_ref, gate_ref, qkvw_ref, outw_ref,
     o_ref[0] = (x32 + g * y).astype(o_ref.dtype)
 
 
+def _mlp_kernel(x_ref, shift_ref, scale_ref, gate_ref, w1_ref, b1_ref,
+                w2_ref, b2_ref, o_ref, acc_ref, *, n_chunks, N, S,
+                ln_eps, mod_eps, approx_gelu):
+    """Fused LN -> modulate -> fc1 -> gelu -> fc2 -> gate -> residual over the
+    FULL token batch per grid step; only the MLP hidden dim is chunked on the
+    grid so each weight byte streams from HBM exactly once per call. LN and
+    modulate are recomputed per chunk (cheap VPU work; a scratch copy would
+    blow the VMEM budget); fc2 partials accumulate in fp32 scratch."""
+    c = pl.program_id(0)
+    x = x_ref[:]  # (N*S, D)
+
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    ln = (x32 - mean) * jax.lax.rsqrt(var + ln_eps)
+    scale = scale_ref[:].astype(jnp.float32)
+    shift = shift_ref[:].astype(jnp.float32)
+    mod = (ln * (1.0 + scale + mod_eps) + shift).astype(x.dtype)
+
+    h = jnp.dot(mod, w1_ref[:], preferred_element_type=jnp.float32)
+    h = h + b1_ref[0].astype(jnp.float32)
+    h = jax.nn.gelu(h, approximate=approx_gelu).astype(x.dtype)
+    partial = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
+
+    @pl.when(c == 0)
+    def _():
+        acc_ref[:] = partial
+
+    @pl.when(c > 0)
+    def _():
+        acc_ref[:] = acc_ref[:] + partial
+
+    @pl.when(c == n_chunks - 1)
+    def _():
+        y = acc_ref[:] + b2_ref[0].astype(jnp.float32)
+        g = gate_ref[:].astype(jnp.float32)
+        o_ref[:] = (x32 + g * y).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("approx_gelu",))
+def fused_mlp_branch(x, shift, scale, gate, w1, b1, w2, b2,
+                     approx_gelu=True):
+    """x: (N, S, D); shift/scale/gate: (N, D); w1: (D, H); w2: (H, D).
+    Returns x + gate * MLP(modulate(LN(x)))."""
+    N, S, D = x.shape
+    H = w1.shape[1]
+    chunk = H
+    while chunk * D * 2 * x.dtype.itemsize > 3 * 1024 * 1024 and chunk % 2 == 0:
+        chunk //= 2
+    n_chunks = H // chunk
+    xf = x.reshape(N * S, D)
+    # per-frame vectors pre-broadcast to token rows (XLA fuses this into the
+    # producers; avoids unsupported in-kernel sublane repeats)
+    expand = lambda v: jnp.repeat(v, S, axis=0)  # noqa: E731
+    shift, scale, gate = expand(shift), expand(scale), expand(gate)
+    b1 = b1.reshape(1, H)
+    b2 = b2.reshape(1, D)
+    out = pl.pallas_call(
+        functools.partial(
+            _mlp_kernel, n_chunks=n_chunks, N=N, S=S, ln_eps=1e-6,
+            mod_eps=1e-6, approx_gelu=approx_gelu,
+        ),
+        out_shape=jax.ShapeDtypeStruct(xf.shape, x.dtype),
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((N * S, D), lambda c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # shift (N, D)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # scale
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # gate
+            pl.BlockSpec((D, chunk), lambda c: (0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk), lambda c: (0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, D), lambda c: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda c: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((N * S, D), lambda c: (0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((N * S, D), jnp.float32),  # fc2 accumulator
+        ],
+        interpret=_INTERPRET,
+    )(xf, shift, scale, gate, w1, b1, w2, b2)
+    return out.reshape(N, S, D)
+
+
 @functools.partial(jax.jit, static_argnames=("num_heads",))
 def fused_spatial_branch(x, shift, scale, gate, qkv_w, out_w, out_b,
                          rope_freqs, num_heads):

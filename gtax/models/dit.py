@@ -191,7 +191,31 @@ def _block_apply(x, c, bp, spatial_freqs, temporal_freqs, num_heads, valid, dtyp
             ),
             g1,
         )
-    x = x + gate(mlp(bp["s_mlp"], modulate(layer_norm(x), sh2, sc2), gelu_tanh, dtype), g2)
+    def mlp_branch(x, prms, shift, scale, g):
+        # NOTE: measured on v5e, the chunked fused-MLP kernel is slower than
+        # XLA's fused mlp chain (9.8ms vs 8.8ms full-forward); it stays
+        # available under the "fused_mlp" backend for future tuning.
+        if attn.get_backend() == "fused_mlp":
+            from gtax.kernels.block import fused_mlp_branch
+
+            B, T, gh, gw, D = x.shape
+            S = gh * gw
+            return fused_mlp_branch(
+                x.reshape(B * T, S, D),
+                shift.reshape(B * T, D),
+                scale.reshape(B * T, D),
+                g.reshape(B * T, D),
+                prms["fc1"]["kernel"].astype(dtype),
+                prms["fc1"]["bias"],
+                prms["fc2"]["kernel"].astype(dtype),
+                prms["fc2"]["bias"],
+            ).reshape(B, T, gh, gw, D)
+        return x + gate(
+            mlp(prms, modulate(layer_norm(x), shift, scale), gelu_tanh, dtype),
+            g,
+        )
+
+    x = mlp_branch(x, bp["s_mlp"], sh2, sc2, g2)
 
     th1, tc1, tg1, th2, tc2, tg2 = adaln(bp["t_adaln"], c, 6, dtype)
     x = x + gate(
@@ -201,7 +225,7 @@ def _block_apply(x, c, bp, spatial_freqs, temporal_freqs, num_heads, valid, dtyp
         ),
         tg1,
     )
-    x = x + gate(mlp(bp["t_mlp"], modulate(layer_norm(x), th2, tc2), gelu_tanh, dtype), tg2)
+    x = mlp_branch(x, bp["t_mlp"], th2, tc2, tg2)
     return x
 
 

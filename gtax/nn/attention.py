@@ -32,7 +32,7 @@ def set_backend(name: str) -> None:
     """xla: reference-semantics einsum path. pallas: fused attention kernels.
     fused: whole-branch Pallas megakernels (inference fast path)."""
     global _BACKEND
-    assert name in ("xla", "pallas", "fused"), name
+    assert name in ("xla", "pallas", "fused", "fused_mlp"), name
     _BACKEND = name
 
 
