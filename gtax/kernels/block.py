@@ -44,9 +44,13 @@ def rotate_half_matrix(d: int) -> np.ndarray:
 
 def _kernel(x_ref, shift_ref, scale_ref, gate_ref, qkvw_ref, outw_ref,
             outb_ref, cos_ref, sin_ref, rot_ref, o_ref, *, num_heads,
-            ln_eps, mod_eps):
-    x = x_ref[0]  # (S, D) bf16
-    S, D = x.shape
+            n_frames, seq_len, ln_eps, mod_eps):
+    """One kernel call = the whole (N*S, D) token batch: weights stream from
+    HBM exactly once. LN/modulate/qkv/out run as full-batch GEMMs; only the
+    attention itself loops over (frame, head) on VMEM-resident tiles."""
+    x = x_ref[:]  # (N*S, D) bf16
+    NS, D = x.shape
+    S = seq_len
     d = D // num_heads
 
     # LayerNorm (no affine) in fp32
@@ -55,18 +59,18 @@ def _kernel(x_ref, shift_ref, scale_ref, gate_ref, qkvw_ref, outw_ref,
     var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
     ln = (x32 - mean) * jax.lax.rsqrt(var + ln_eps)
 
-    # adaLN modulate (scale/shift per frame): x*(1+s+eps)+b
-    scale = scale_ref[0, 0].astype(jnp.float32)
-    shift = shift_ref[0, 0].astype(jnp.float32)
+    # adaLN modulate (scale/shift pre-broadcast to token rows)
+    scale = scale_ref[:].astype(jnp.float32)
+    shift = shift_ref[:].astype(jnp.float32)
     mod = (ln * (1.0 + scale + mod_eps) + shift).astype(x.dtype)
 
-    # fused qkv GEMM
+    # fused qkv GEMM over all tokens
     qkv = jnp.dot(mod, qkvw_ref[:], preferred_element_type=jnp.float32)
     q, k, v = qkv[:, :D], qkv[:, D:2 * D], qkv[:, 2 * D:]
 
-    # rope via signed-permutation matmul on per-head lane slices (Mosaic has
-    # no lane-dim reshape, so heads are processed as 64-lane slices of D)
-    cos = cos_ref[:]  # (S, d) fp32
+    # rope via signed-permutation matmul (full batch, per-head lane slices —
+    # Mosaic has no lane-dim reshape)
+    cos = cos_ref[:]  # (S, d) fp32, tiled over frames below
     sin = sin_ref[:]
     R = rot_ref[:]    # (d, d) fp32
 
@@ -80,26 +84,167 @@ def _kernel(x_ref, shift_ref, scale_ref, gate_ref, qkvw_ref, outw_ref,
         ks = (ks32 * cos + jnp.dot(
             ks32, R, preferred_element_type=jnp.float32) * sin).astype(x.dtype)
         vs = v[:, sl].astype(x.dtype)
-        scores = jax.lax.dot_general(
-            qs, ks, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale_attn
-        m = jnp.max(scores, axis=-1, keepdims=True)
-        e = jnp.exp(scores - m)
-        probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
-        head_outs.append(
-            jnp.dot(probs, vs, preferred_element_type=jnp.float32)
-        )
+        frame_outs = []
+        for n in range(n_frames):
+            fr = slice(n * S, (n + 1) * S)
+            scores = jax.lax.dot_general(
+                qs[fr], ks[fr], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale_attn
+            m = jnp.max(scores, axis=-1, keepdims=True)
+            e = jnp.exp(scores - m)
+            probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
+            frame_outs.append(
+                jnp.dot(probs, vs[fr], preferred_element_type=jnp.float32)
+            )
+        head_outs.append(jnp.concatenate(frame_outs, axis=0))
     # heads are contiguous d-slices of D in (h, d) order
     attn_out = jnp.concatenate(head_outs, axis=-1).astype(x.dtype)
 
-    # output projection + bias
+    # output projection + bias over all tokens
     y = jnp.dot(attn_out, outw_ref[:], preferred_element_type=jnp.float32)
-    y = y + outb_ref[0, 0].astype(jnp.float32)
+    y = y + outb_ref[0].astype(jnp.float32)
 
     # gated residual
-    g = gate_ref[0, 0].astype(jnp.float32)
-    o_ref[0] = (x32 + g * y).astype(o_ref.dtype)
+    g = gate_ref[:].astype(jnp.float32)
+    o_ref[:] = (x32 + g * y).astype(o_ref.dtype)
+
+
+def _temporal_kernel(x_ref, shift_ref, scale_ref, gate_ref, qkvw_ref,
+                     outw_ref, outb_ref, cos_ref, sin_ref, rotf_ref, seg_ref,
+                     bias_ref, o_ref, *, num_heads, n_frames, n_batches,
+                     seq_len, ln_eps, mod_eps):
+    """Fused temporal (causal) attention branch.
+
+    Token-major (N*S, D) rows are FRAME-CONTIGUOUS, so attention over frames
+    needs no relayout: for each causal frame pair (i, j) the per-head scores
+    are segment sums (qi * kj) @ seg, where seg is the (D, h) head-indicator
+    matrix, and probabilities are re-expanded with seg^T. With T <= 5 this is
+    ~15 pairs of one multiply + two tiny GEMMs — all VMEM-resident.
+
+    bias: (T, T) additive mask in SMEM (causal + validity + open diagonal),
+    computed by the caller.
+    """
+    x = x_ref[:]  # (N*S, D)
+    NS, D = x.shape
+    S = seq_len
+    T = n_frames
+
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    ln = (x32 - mean) * jax.lax.rsqrt(var + ln_eps)
+    scale = scale_ref[:].astype(jnp.float32)
+    shift = shift_ref[:].astype(jnp.float32)
+    mod = (ln * (1.0 + scale + mod_eps) + shift).astype(x.dtype)
+
+    qkv = jnp.dot(mod, qkvw_ref[:], preferred_element_type=jnp.float32)
+    q, k, v = qkv[:, :D], qkv[:, D:2 * D], qkv[:, 2 * D:]
+
+    # full-width rope over the frame axis: cos/sin (N*S, D) tiled per frame
+    # and across heads; rotate_half via the block-diagonal signed permutation
+    cos, sin, Rf = cos_ref[:], sin_ref[:], rotf_ref[:]
+    q = q * cos + jnp.dot(q, Rf, preferred_element_type=jnp.float32) * sin
+    k = k * cos + jnp.dot(k, Rf, preferred_element_type=jnp.float32) * sin
+    q = q.astype(x.dtype)
+    k = k.astype(x.dtype)
+    v = v.astype(x.dtype)
+
+    seg = seg_ref[:]  # (D, h) head-indicator, bf16
+    d = D // num_heads
+    scale_attn = 1.0 / (d**0.5)
+
+    out_rows = []
+    for b in range(n_batches):
+        base = b * T * S
+
+        def frame(t, arr):
+            return arr[base + t * S: base + (t + 1) * S]
+
+        # scores[i][j]: (S, h) fp32 for causal pairs j <= i
+        scores = [[None] * T for _ in range(T)]
+        for i in range(T):
+            qi = frame(i, q)
+            for j in range(i + 1):
+                kj = frame(j, k)
+                scores[i][j] = jnp.dot(
+                    (qi * kj).astype(x.dtype), seg,
+                    preferred_element_type=jnp.float32,
+                ) * scale_attn + bias_ref[i, j]
+
+        for i in range(T):
+            row = [scores[i][j] for j in range(i + 1)]
+            m = row[0]
+            for s_ij in row[1:]:
+                m = jnp.maximum(m, s_ij)
+            exps = [jnp.exp(s_ij - m) for s_ij in row]
+            denom = exps[0]
+            for e in exps[1:]:
+                denom = denom + e
+            acc = None
+            for j, e in enumerate(exps):
+                probs = (e / denom).astype(x.dtype)
+                pexp = jnp.dot(
+                    probs, seg_ref[:].T, preferred_element_type=jnp.float32
+                ).astype(x.dtype)
+                term = pexp * frame(j, v)
+                acc = term if acc is None else acc + term
+            out_rows.append(acc)
+    attn_out = jnp.concatenate(out_rows, axis=0).astype(x.dtype)
+
+    y = jnp.dot(attn_out, outw_ref[:], preferred_element_type=jnp.float32)
+    y = y + outb_ref[0].astype(jnp.float32)
+    g = gate_ref[:].astype(jnp.float32)
+    o_ref[:] = (x32 + g * y).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "n_frames"))
+def fused_temporal_branch(x, shift, scale, gate, qkv_w, out_w, out_b,
+                          rope_freqs, valid, num_heads, n_frames):
+    """x: (N=B*T, S, D) frame-major token tiles; shift/scale/gate: (N, D);
+    rope_freqs: (T, rot) temporal table; valid: (T,) bool or None.
+    Returns x + gate * TemporalCausalAttention(modulate(LN(x)))."""
+    N, S, D = x.shape
+    T = n_frames
+    B = N // T
+    d = D // num_heads
+    # per-frame rope angles tiled over tokens and heads
+    cos_t = jnp.cos(rope_freqs.astype(jnp.float32))  # (T, d)
+    sin_t = jnp.sin(rope_freqs.astype(jnp.float32))
+    cos = jnp.tile(jnp.repeat(cos_t, S, axis=0), (B, num_heads))  # (N*S, D)
+    sin = jnp.tile(jnp.repeat(sin_t, S, axis=0), (B, num_heads))
+    R = rotate_half_matrix(d)
+    Rf = jnp.asarray(np.kron(np.eye(num_heads, dtype=np.float32), R))
+    seg = jnp.asarray(
+        np.kron(np.eye(num_heads, dtype=np.float32),
+                np.ones((d, 1), np.float32))
+    ).astype(x.dtype)  # (D, h)
+
+    causal = np.tril(np.ones((T, T), dtype=bool))
+    if valid is not None:
+        key_ok = jnp.logical_or(valid[None, :], jnp.eye(T, dtype=bool))
+        allow = jnp.logical_and(jnp.asarray(causal), key_ok)
+    else:
+        allow = jnp.asarray(causal)
+    bias = jnp.where(allow, 0.0, -1e30).astype(jnp.float32)
+
+    xf = x.reshape(N * S, D)
+    expand = lambda vv: jnp.repeat(vv, S, axis=0)  # noqa: E731
+    shift, scale, gate = expand(shift), expand(scale), expand(gate)
+    out_b = out_b.reshape(1, -1)
+    out = pl.pallas_call(
+        functools.partial(
+            _temporal_kernel, num_heads=num_heads, n_frames=T, n_batches=B,
+            seq_len=S, ln_eps=1e-6, mod_eps=1e-6,
+        ),
+        out_shape=jax.ShapeDtypeStruct(xf.shape, x.dtype),
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 11
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=_INTERPRET,
+    )(xf, shift, scale, gate, qkv_w, out_w, out_b, cos, sin, Rf, seg, bias)
+    return out.reshape(N, S, D)
 
 
 def _mlp_kernel(x_ref, shift_ref, scale_ref, gate_ref, w1_ref, b1_ref,
@@ -200,40 +345,22 @@ def fused_spatial_branch(x, shift, scale, gate, qkv_w, out_w, out_b,
     """
     N, S, D = x.shape
     d = D // num_heads
-    cos = jnp.cos(rope_freqs.astype(jnp.float32))
-    sin = jnp.sin(rope_freqs.astype(jnp.float32))
+    cos = jnp.tile(jnp.cos(rope_freqs.astype(jnp.float32)), (N, 1))
+    sin = jnp.tile(jnp.sin(rope_freqs.astype(jnp.float32)), (N, 1))
     R = jnp.asarray(rotate_half_matrix(d))
-    out_b = out_b.reshape(1, 1, -1)
-    shift = shift.reshape(N, 1, D)
-    scale = scale.reshape(N, 1, D)
-    gate = gate.reshape(N, 1, D)
-    grid = (N,)
-    return pl.pallas_call(
+    out_b = out_b.reshape(1, -1)
+    xf = x.reshape(N * S, D)
+    expand = lambda v: jnp.repeat(v, S, axis=0)  # noqa: E731
+    shift, scale, gate = expand(shift), expand(scale), expand(gate)
+    out = pl.pallas_call(
         functools.partial(
-            _kernel, num_heads=num_heads, ln_eps=1e-6, mod_eps=1e-6
+            _kernel, num_heads=num_heads, n_frames=N, seq_len=S,
+            ln_eps=1e-6, mod_eps=1e-6,
         ),
-        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, S, D), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            # per-frame vectors as (N,1,D), one (1,1,D) block per step —
-            # dynamic sublane indexing is not provably aligned for Mosaic
-            pl.BlockSpec((1, 1, D), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, D), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, D), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((D, 3 * D), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((D, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, S, D), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(xf.shape, x.dtype),
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 10,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=_INTERPRET,
-    )(x, shift, scale, gate, qkv_w, out_w, out_b, cos, sin, R)
+    )(xf, shift, scale, gate, qkv_w, out_w, out_b, cos, sin, R)
+    return out.reshape(N, S, D)

@@ -218,13 +218,32 @@ def _block_apply(x, c, bp, spatial_freqs, temporal_freqs, num_heads, valid, dtyp
     x = mlp_branch(x, bp["s_mlp"], sh2, sc2, g2)
 
     th1, tc1, tg1, th2, tc2, tg2 = adaln(bp["t_adaln"], c, 6, dtype)
-    x = x + gate(
-        attn.temporal_axial_attention(
-            bp["t_attn"], modulate(layer_norm(x), th1, tc1), temporal_freqs,
-            num_heads, valid, dtype,
-        ),
-        tg1,
-    )
+    if attn.get_backend() == "fused" and (valid is None or valid.ndim == 1):
+        from gtax.kernels.block import fused_temporal_branch
+
+        B, T, gh, gw, D = x.shape
+        S = gh * gw
+        x = fused_temporal_branch(
+            x.reshape(B * T, S, D),
+            th1.reshape(B * T, D),
+            tc1.reshape(B * T, D),
+            tg1.reshape(B * T, D),
+            bp["t_attn"]["qkv"]["kernel"].astype(dtype),
+            bp["t_attn"]["out"]["kernel"].astype(dtype),
+            bp["t_attn"]["out"]["bias"],
+            temporal_freqs,
+            valid,
+            num_heads,
+            T,
+        ).reshape(B, T, gh, gw, D)
+    else:
+        x = x + gate(
+            attn.temporal_axial_attention(
+                bp["t_attn"], modulate(layer_norm(x), th1, tc1), temporal_freqs,
+                num_heads, valid, dtype,
+            ),
+            tg1,
+        )
     x = mlp_branch(x, bp["t_mlp"], th2, tc2, tg2)
     return x
 

@@ -104,3 +104,43 @@ def test_fused_spatial_branch_matches_xla(golden):
     finally:
         nnattn.set_backend("xla")
     assert_close(out, ref, atol=5e-4, rtol=1e-3)
+
+
+def test_fused_backend_with_valid_mask(golden):
+    """Fused temporal kernel must honour the padded-window validity mask
+    (the rollout path)."""
+    import os
+
+    from gtax.io import safetensors_port as port
+    from gtax.models.dit import dit_apply
+    from tests.conftest import GOLDEN
+    from tests.test_models_parity import DIT_SMALL
+
+    path = os.path.join(GOLDEN, "dit_small.safetensors")
+    if not os.path.exists(path):
+        pytest.skip("run scripts/gen_golden.py first")
+    params, _, _ = port.dit_from_torch(port.read_safetensors(path), DIT_SMALL)
+    g = golden("dit_small.npz")
+    x, t = jnp.asarray(g["x"]), jnp.asarray(g["t"])
+    acts = jnp.asarray(g["actions"])
+    valid = jnp.asarray([False, False, True, True, True])
+
+    nnattn.set_backend("xla")
+    ref = dit_apply(params, DIT_SMALL, x, t, acts, valid,
+                    compute_dtype=jnp.float32)
+    nnattn.set_backend("fused")
+    try:
+        out = dit_apply(params, DIT_SMALL, x, t, acts, valid,
+                        compute_dtype=jnp.float32)
+    finally:
+        nnattn.set_backend("xla")
+    assert_close(out, ref, atol=5e-4, rtol=1e-3)
+    # and a batched (B=2) no-mask case exercises the kernel's batch loop
+    nnattn.set_backend("fused")
+    try:
+        out2 = dit_apply(params, DIT_SMALL, x, t, acts,
+                         compute_dtype=jnp.float32)
+    finally:
+        nnattn.set_backend("xla")
+    ref2 = dit_apply(params, DIT_SMALL, x, t, acts, compute_dtype=jnp.float32)
+    assert_close(out2, ref2, atol=5e-4, rtol=1e-3)
