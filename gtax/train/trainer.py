@@ -210,13 +210,7 @@ class Trainer:
         cfg = self.config
         accum = cfg.gradient_accumulation_steps
 
-        def loss_for_micro(params, vae_params, video, actions, rng):
-            # vae_params enter as a jit ARGUMENT (closure-captured weights
-            # would be baked into the HLO as multi-GB constants)
-            latents = jax.lax.stop_gradient(
-                encode_frames(vae_params, self.vae_cfg, video,
-                              self.compute_dtype)
-            )
+        def loss_for_micro(params, latents, actions, rng):
             mean_loss, sum_loss = diffusion_forcing_loss(
                 self._dit_fn(params), latents, actions, rng, self.loss_cfg,
                 self.alphas_cumprod, self.noise_range,
@@ -226,11 +220,17 @@ class Trainer:
         grad_fn = jax.value_and_grad(loss_for_micro, has_aux=True)
 
         def train_step(params, opt_state, vae_params, video, actions, rng):
-            # video: (accum, B, T, 3, H, W) — micro-batches stacked in front
+            # video: (accum, B, T, 3, H, W) — micro-batches stacked in front.
+            # The frozen VAE encode runs OUTSIDE value_and_grad (the VAE takes
+            # no gradient; keeping it out of the grad graph roughly halves
+            # the compiled program).
             def micro(carry, inp):
                 grads_acc, loss_acc = carry
                 v, a, key = inp
-                (_, mean_loss), grads = grad_fn(params, vae_params, v, a, key)
+                latents = encode_frames(
+                    vae_params, self.vae_cfg, v, self.compute_dtype
+                )
+                (_, mean_loss), grads = grad_fn(params, latents, a, key)
                 grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
                 return (grads_acc, loss_acc + mean_loss), None
 
@@ -260,8 +260,10 @@ class Trainer:
         self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
 
         def eval_step(params, vae_params, video, actions, rng):
-            _, mean_loss = loss_for_micro(params, vae_params, video, actions,
-                                          rng)
+            latents = encode_frames(
+                vae_params, self.vae_cfg, video, self.compute_dtype
+            )
+            _, mean_loss = loss_for_micro(params, latents, actions, rng)
             return mean_loss
 
         self._eval_step = jax.jit(eval_step)
