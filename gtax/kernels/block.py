@@ -15,8 +15,8 @@ intermediates never leave VMEM:
   - LN statistics, softmax, and both GEMM accumulations run in fp32.
 
 Inference path only (the training step keeps the XLA graph, which autodiff
-handles); enabled via attention backend "pallas" + DiTConfig.fused_blocks or
-directly through `fused_spatial_branch`.
+handles); enabled via attention backend "fused"
+(gtax.nn.attention.set_backend) or directly through the branch functions.
 """
 
 from __future__ import annotations

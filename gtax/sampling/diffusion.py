@@ -230,7 +230,9 @@ def make_pipelined_rollout(dit_fn, max_frames: int, cfg: SamplerConfig,
     abar, noise_range = cfg.tables()
     W = max_frames
     P = pipeline_depth
-    assert 1 <= P < W + 1
+    # at least one clean-context slot must remain (P == W would leave the
+    # window with no emitted/prompt context at all)
+    assert 1 <= P <= W - 1, (P, W)
     steps = cfg.ddim_noise_steps
     stride = -(-(steps + 1) // P)  # ceil: calls per emitted frame
     n_ctx_slots = W - P

@@ -48,7 +48,7 @@ class TrainingConfig:
     compute_dtype: str = "bfloat16"      # activations dtype on device
     mesh_data: int = -1                  # -1: all devices on the data axis
     mesh_model: int = 1                  # >1 enables tensor parallelism
-    attention_backend: str = "xla"       # xla | pallas
+    attention_backend: str = "xla"       # xla | pallas | fused (inference)
     remat: bool = False                  # jax.checkpoint the DiT blocks
     profile_dir: Optional[str] = None    # jax.profiler trace output
 
