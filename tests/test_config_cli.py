@@ -1,0 +1,83 @@
+"""Config and CLI surface tests: reference-key YAML compatibility, misspelled
+key tolerance, scientific-notation coercion, generate-CLI flag parity, and
+the LR schedule against the HF implementation the reference uses."""
+
+import numpy as np
+import pytest
+
+from gtax.train.config import TrainingConfig
+from gtax.train.optim import cosine_min_lr_schedule
+
+
+def test_repo_configs_load():
+    for path in ("configs/train_dit.yaml", "configs/train_dit_actions.yaml",
+                 "configs/train_dit_dummy.yaml"):
+        cfg = TrainingConfig.from_yaml(path)
+        assert cfg.noise_abs_max == 20.0
+        assert isinstance(cfg.learning_rate, float)
+
+
+def test_reference_key_set_parses():
+    """The reference's exact YAML keys (train_dit.yaml, incl. the misspelled
+    warnup_ratio) must load unchanged."""
+    raw = dict(
+        vae_checkpoint="checkpoints/vit-l-20.safetensors",
+        pretrained_model="checkpoints/dit.safetensors",
+        model_name="dit_training", learning_rate="1e-4",
+        min_learning_rate="1e-4", warnup_ratio=0.05, batch_size=16,
+        gradient_accumulation_steps=1, validation_batch_size=16,
+        dataset_type="hfdataset", weight_decay=0.0, num_epochs=30,
+        max_steps=-1, validation_steps=10000, save_every=10000,
+        output_dir="checkpoints", logging_steps=10, seed=42, use_wandb=True,
+        ddim_noise_steps=50, ddim_noise_steps_inference=100,
+        ctx_max_noise_idx=40, noise_abs_max=20.0, n_prompt_frames=4,
+        resume_from_checkpoint=True, use_action_conditioning=False,
+    )
+    cfg = TrainingConfig.from_dict(raw)
+    assert cfg.warmup_ratio == 0.05
+    assert cfg.learning_rate == 1e-4  # string scientific notation coerced
+    assert cfg.ddim_noise_steps_inference == 100
+
+
+def test_unknown_key_rejected():
+    with pytest.raises(ValueError):
+        TrainingConfig.from_dict({"not_a_key": 1})
+
+
+def test_cosine_min_lr_schedule_matches_hf():
+    """Parity with transformers.get_cosine_with_min_lr_schedule_with_warmup
+    (num_cycles=0.25, min_lr) — the reference's scheduler
+    (train_dit.py:254-260)."""
+    try:
+        import torch
+        from transformers.optimization import (
+            get_cosine_with_min_lr_schedule_with_warmup,
+        )
+    except ImportError:
+        pytest.skip("transformers unavailable")
+    lr, min_lr, warmup, total = 1e-4, 1e-5, 50, 1000
+    opt = torch.optim.AdamW([torch.nn.Parameter(torch.zeros(1))], lr=lr)
+    sched = get_cosine_with_min_lr_schedule_with_warmup(
+        opt, num_warmup_steps=warmup, num_training_steps=total,
+        num_cycles=0.25, min_lr=min_lr,
+    )
+    ours = cosine_min_lr_schedule(lr, min_lr, warmup, total)
+    for step in [0, 1, 25, 50, 51, 200, 500, 900, 999]:
+        want = lr * sched.lr_lambdas[0](step)
+        got = float(ours(step))
+        np.testing.assert_allclose(got, want, rtol=1e-5, err_msg=f"step {step}")
+
+
+def test_generate_cli_flag_parity():
+    """The generate CLI exposes the reference's flags (generate.py:71-120)."""
+    from gtax.cli.generate import build_parser
+
+    parser = build_parser()
+    args = parser.parse_args([
+        "--total-frames", "8", "--dit_model_path", "a", "--vae_model_path",
+        "b", "--noise_steps", "20", "--use_actions", "--output_path", "o.mp4",
+        "--start_frame", "img.jpg",
+    ])
+    assert args.total_frames == 8
+    assert args.noise_steps == 20
+    assert args.use_actions and args.start_frame == "img.jpg"
