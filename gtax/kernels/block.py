@@ -7,12 +7,14 @@ kernel. Profiling the XLA path on v5e showed ~45% of forward time in layout
 copies and LN/modulate elementwise chains bouncing through HBM; here the
 intermediates never leave VMEM:
 
-  - per grid step the kernel processes one frame's 144-token tile;
-  - rotate_half is a constant (d, d) signed-permutation MATMUL instead of
-    sub-lane shuffles (the TPU-slow part of standard rope);
-  - qkv (D x 3D) and out (D x D) weights are VMEM-resident across grid steps
-    (~8 MB bf16);
-  - LN statistics, softmax, and both GEMM accumulations run in fp32.
+  - one kernel call covers the whole (N*S, D) token batch, so weights stream
+    from HBM exactly once per call;
+  - rotate_half is a constant signed-permutation MATMUL instead of sub-lane
+    shuffles (the TPU-slow part of standard rope);
+  - heads are processed as 64-lane slices of D (Mosaic has no lane reshape);
+  - the temporal variant exploits frame-contiguity of token-major rows:
+    causal frame-pair scores are segment sums — no relayout at all;
+  - LN statistics, softmax, and all GEMM accumulations run in fp32.
 
 Inference path only (the training step keeps the XLA graph, which autodiff
 handles); enabled via attention backend "fused"
