@@ -20,6 +20,8 @@ def main(argv=None):
     parser.add_argument("config", type=str, help="Path to config YAML file")
     parser.add_argument("--dataset_root", type=str, default=None,
                         help="local shard dir for the webdataset backend")
+    parser.add_argument("--dummy_size", type=int, default=None,
+                        help="override the dummy dataset length (smoke runs)")
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -47,18 +49,14 @@ def main(argv=None):
         dataset_kw["shards"] = sorted(
             glob.glob(os.path.join(args.dataset_root, "*.tar"))
         )
+    if args.dummy_size is not None and config.dataset_type == "dummy":
+        dataset_kw["size"] = args.dummy_size
 
     train_loader, val_loader = build_loaders(config, **dataset_kw)
     trainer = Trainer(config, total_dataset_size=len(train_loader.dataset))
 
-    if config.use_wandb:
-        try:
-            import wandb
-
-            wandb.init(project="diffusion-transformer", config=config.to_dict())
-        except ImportError:
-            logging.info("wandb unavailable; metrics go to JSONL only")
-
+    # wandb init happens inside training_loop (after resume, so the run id
+    # from step.json resumes the same wandb run — reference train_dit.py:810-830)
     trainer.training_loop(train_loader, val_loader)
 
 

@@ -17,9 +17,10 @@ from gtax.data.actions import actions_to_one_hot
 class DummyDataset:
     def __init__(self, split: str = "train", return_actions: bool = False,
                  height: int = FRAME_HEIGHT, width: int = FRAME_WIDTH,
-                 seed: int = 0):
+                 seed: int = 0, size: int | None = None):
         self.split = split
         self.return_actions = return_actions
+        self.size = size  # None: reference sizes (10M train / 10 val)
         self._rng = np.random.default_rng(seed)
 
         blue = np.array([0.0, 0.0, 1.0], np.float32)
@@ -38,6 +39,8 @@ class DummyDataset:
         )
 
     def __len__(self):
+        if self.size is not None:
+            return self.size
         return 10_000_000 if self.split == "train" else 10
 
     def __getitem__(self, index):

@@ -73,21 +73,26 @@ class DataLoader:
             shuffle if shuffle is not None else not is_iterable
         )
         self.is_iterable = is_iterable
+        self.epoch = 0  # bumped after each full __iter__ over a map-style ds
 
     def __len__(self):
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _sample_iter(self) -> Iterator[dict]:
+        """One pass over the dataset per call (torch-DataLoader epoch
+        semantics, reference train_dit.py:920-934). Map-style datasets
+        reshuffle each epoch with a per-epoch seed; resampled/iterable streams
+        (webdataset) yield whatever the stream yields — possibly infinite."""
         if self.is_iterable:
             yield from iter(self.dataset)
         else:
             n = len(self.dataset)
-            rng = np.random.default_rng(self.seed)
-            while True:
-                order = rng.permutation(n) if self.shuffle else np.arange(n)
-                for i in order:
-                    yield self.dataset[int(i)]
+            rng = np.random.default_rng(self.seed + self.epoch)
+            order = rng.permutation(n) if self.shuffle else np.arange(n)
+            self.epoch += 1
+            for i in order:
+                yield self.dataset[int(i)]
 
     def __iter__(self) -> Iterator[Batch]:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)

@@ -343,4 +343,23 @@ def DiT_S_2() -> DiTConfig:
     )
 
 
-DiT_MODELS = {"DiT-S/2": DiT_S_2}
+def DiT_debug() -> DiTConfig:
+    """Tiny preset for smoke runs on any hardware (pairs with the VAE
+    'vae-debug' preset: latent 8ch on a 6x8 grid). The reference hard-codes
+    model shapes in factories (model/dit.py:379-389); gtax keeps the registry
+    but adds a debug entry so the full train/generate CLI surface is drivable
+    without checkpoints or a large chip."""
+    return DiTConfig(
+        input_h=6,
+        input_w=8,
+        patch_size=2,
+        in_channels=8,
+        hidden_size=64,
+        depth=2,
+        num_heads=2,
+        max_frames=5,
+        external_cond_dim=25,
+    )
+
+
+DiT_MODELS = {"DiT-S/2": DiT_S_2, "DiT-debug": DiT_debug}

@@ -272,4 +272,25 @@ def ViT_L_20_Shallow_Encoder(latent_dim: int = 16) -> VAEConfig:
     )
 
 
-VAE_MODELS = {"vit-l-20-shallow-encoder": ViT_L_20_Shallow_Encoder}
+def VAE_debug() -> VAEConfig:
+    """Tiny preset for smoke runs (pairs with 'DiT-debug': 48x64 frames,
+    8-channel 6x8 latents). head_dim = 32 keeps the partial pixel RoPE
+    (head_dim//4 rotated pairs) exercised."""
+    return VAEConfig(
+        latent_dim=8,
+        input_height=48,
+        input_width=64,
+        patch_size=8,
+        enc_dim=64,
+        enc_depth=1,
+        enc_heads=2,
+        dec_dim=64,
+        dec_depth=1,
+        dec_heads=2,
+    )
+
+
+VAE_MODELS = {
+    "vit-l-20-shallow-encoder": ViT_L_20_Shallow_Encoder,
+    "vae-debug": VAE_debug,
+}

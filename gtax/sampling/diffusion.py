@@ -97,20 +97,24 @@ def denoise_step(
 def denoise_window(
     dit_fn, x, actions, valid, cfg: SamplerConfig, alphas_cumprod, noise_range
 ):
-    """Run the full reversed noise-step scan on one window; returns the window
-    with its last frame fully denoised (reference generate.py:206-220)."""
+    """Run the full reversed noise-step scan on one window; returns
+    (window with its last frame fully denoised, v-prediction of the final
+    noise_idx==0 step) (reference generate.py:206-220; the final v feeds the
+    debug grid in predict_noise, train_dit.py:535-550)."""
 
     def body(carry, noise_idx):
-        x_pred, _ = denoise_step(
-            dit_fn, carry, actions, valid, noise_idx,
+        x_win, _ = carry
+        x_pred, v = denoise_step(
+            dit_fn, x_win, actions, valid, noise_idx,
             cfg.stabilization_level, noise_range, alphas_cumprod,
         )
-        carry = jnp.concatenate([carry[:, :-1], x_pred[:, -1:]], axis=1)
-        return carry, None
+        x_win = jnp.concatenate([x_win[:, :-1], x_pred[:, -1:]], axis=1)
+        return (x_win, v), None
 
     idxs = jnp.arange(cfg.ddim_noise_steps, -1, -1)
-    x, _ = jax.lax.scan(body, x, idxs)
-    return x
+    v0 = jnp.zeros_like(x)
+    (x, v_last), _ = jax.lax.scan(body, (x, v0), idxs)
+    return x, v_last
 
 
 def make_rollout(dit_fn, max_frames: int, cfg: SamplerConfig):
@@ -168,7 +172,7 @@ def make_rollout(dit_fn, max_frames: int, cfg: SamplerConfig):
                 )
             else:
                 awin = None
-            window = denoise_window(
+            window, _ = denoise_window(
                 bound_dit, window, awin, valid, cfg, abar, noise_range
             )
             new_frame = window[:, -1]
@@ -189,7 +193,12 @@ def renoise_last_frame(
 ):
     """Eval diagnostic: stabilise-noise the context, replace the last frame
     with pure noise, denoise it (reference predict_noise, train_dit.py:466-552
-    — note it noises context at stabilization_level - 1)."""
+    — note it noises context at stabilization_level - 1).
+
+    Returns a dict of everything the reference's debug grid shows
+    (utils.py:104-211): denoised window, the initial noisy window, the noise
+    actually applied, and the v-prediction of the final denoise step.
+    """
     B, T, C, H, W = latents.shape
     k1, k2 = jax.random.split(rng)
     ctx_noise = jnp.clip(
@@ -203,8 +212,16 @@ def renoise_last_frame(
         jax.random.normal(k2, (B, 1, C, H, W), jnp.float32),
         -cfg.noise_abs_max, cfg.noise_abs_max,
     )
-    x = jnp.concatenate([noisy_ctx, new_frame], axis=1)
-    return denoise_window(dit_fn, x, actions, None, cfg, alphas_cumprod, noise_range)
+    x_noisy = jnp.concatenate([noisy_ctx, new_frame], axis=1)
+    denoised, v_last = denoise_window(
+        dit_fn, x_noisy, actions, None, cfg, alphas_cumprod, noise_range
+    )
+    return {
+        "denoised": denoised,
+        "x_noisy": x_noisy,
+        "noise": jnp.concatenate([ctx_noise, new_frame], axis=1),
+        "v": v_last,
+    }
 
 
 def make_pipelined_rollout(dit_fn, max_frames: int, cfg: SamplerConfig,

@@ -45,6 +45,8 @@ class TrainingConfig:
     resume_from_checkpoint: bool = True
 
     # --- TPU-native extras (defaults preserve reference behaviour) ---
+    dit_model: str = "DiT-S/2"           # gtax.models.dit.DiT_MODELS key
+    vae_model: str = "vit-l-20-shallow-encoder"  # gtax.models.vae.VAE_MODELS
     compute_dtype: str = "bfloat16"      # activations dtype on device
     mesh_data: int = -1                  # -1: all devices on the data axis
     mesh_model: int = 1                  # >1 enables tensor parallelism

@@ -104,8 +104,9 @@ class Trainer:
 
         self.rng = jax.random.PRNGKey(config.seed)
 
-        # models
-        self.dit_cfg = dit_cfg or DiT_MODELS["DiT-S/2"]()
+        # models (registry lookup via config; reference hard-codes factories,
+        # model/dit.py:379-389 — gtax keeps the same flagship defaults)
+        self.dit_cfg = dit_cfg or DiT_MODELS[config.dit_model]()
         if dit_params is not None:
             self.dit_params = dit_params
         elif config.pretrained_model:
@@ -117,12 +118,30 @@ class Trainer:
             from gtax.models.dit import dit_init
 
             self.dit_params = dit_init(init_key, self.dit_cfg)
-        self.vae_cfg = vae_cfg or VAE_MODELS["vit-l-20-shallow-encoder"]()
+        self.vae_cfg = vae_cfg or VAE_MODELS[config.vae_model]()
         if vae_params is not None:
             self.vae_params = vae_params
-        else:
+        elif config.vae_checkpoint:
             self.vae_params = port.load_vae(config.vae_checkpoint, self.vae_cfg)
+        else:
+            # checkpoint-free smoke path (debug presets): random frozen VAE
+            logger.warning("vae_checkpoint empty: initializing a RANDOM VAE "
+                           "(smoke-test path; latents are meaningless)")
+            from gtax.models.vae import vae_init
 
+            self.rng, vae_key = jax.random.split(self.rng)
+            self.vae_params = vae_init(vae_key, self.vae_cfg)
+
+        assert (
+            self.dit_cfg.in_channels == self.vae_cfg.latent_dim
+            and self.dit_cfg.input_h == self.vae_cfg.seq_h
+            and self.dit_cfg.input_w == self.vae_cfg.seq_w
+        ), (
+            f"DiT latent geometry ({self.dit_cfg.in_channels}ch "
+            f"{self.dit_cfg.input_h}x{self.dit_cfg.input_w}) must match the "
+            f"VAE ({self.vae_cfg.latent_dim}ch {self.vae_cfg.seq_h}x"
+            f"{self.vae_cfg.seq_w}); check dit_model/vae_model pairing"
+        )
         self.max_frames = self.dit_cfg.max_frames
 
         # steps math (reference train_dit.py:241-248)
@@ -166,6 +185,7 @@ class Trainer:
 
         self.global_step = 0
         self.start_epoch = 0
+        self.wandb_run_id = None  # persisted in step.json so the run resumes
         self._place_state()
         self._build_steps()
 
@@ -280,6 +300,7 @@ class Trainer:
         self.train_dataset = getattr(train_loader, "dataset", None)
         if cfg.resume_from_checkpoint:
             self.try_resume()
+        self._init_wandb()
 
         if self.global_step == 0:
             self.run_validation(val_loader)
@@ -457,10 +478,10 @@ class Trainer:
 
             visualize_step(
                 x_curr=np.asarray(latents),
-                x_noisy=np.asarray(latents),
-                noise=np.asarray(out - latents),
-                v=np.asarray(out),
-                pred=np.asarray(out),
+                x_noisy=np.asarray(out["x_noisy"]),
+                noise=np.asarray(out["noise"]),
+                v=np.asarray(out["v"]),
+                pred=np.asarray(out["denoised"]),
                 step=self.global_step,
                 decode_fn=lambda lat: np.asarray(
                     decode_frames(
@@ -472,7 +493,7 @@ class Trainer:
             )
         except Exception as e:
             logger.warning("visualization failed: %r", e)
-        return out
+        return out["denoised"]
 
     # ------------------------------------------------------ checkpointing
 
@@ -517,6 +538,9 @@ class Trainer:
         if jax.process_index() == 0:
             meta = {"step": self.global_step, "epoch": epoch,
                     "time": time.time()}
+            # wandb run resumes across restarts (reference train_dit.py:810-830)
+            if self.wandb_run_id is not None:
+                meta["wandb_run_id"] = self.wandb_run_id
             # resumable stream position for the tar-streaming backend —
             # capability the reference's webdataset path lacks
             # (reference train_dit.py:1051-1053)
@@ -542,6 +566,7 @@ class Trainer:
             state_meta = json.load(f)
         self.global_step = state_meta["step"]
         self.start_epoch = state_meta["epoch"]
+        self.wandb_run_id = state_meta.get("wandb_run_id")
         if "data_cursor" in state_meta and hasattr(self, "train_dataset"):
             if hasattr(self.train_dataset, "cursor"):
                 self.train_dataset.cursor = list(state_meta["data_cursor"])
@@ -568,6 +593,27 @@ class Trainer:
         return True
 
     # ----------------------------------------------------------- logging
+
+    def _init_wandb(self):
+        """wandb init with run resumption (reference train_dit.py:874-879 +
+        810-830: the run id from step.json resumes the same wandb run)."""
+        if not self.config.use_wandb or jax.process_index() != 0:
+            return
+        try:
+            import wandb
+        except ImportError:
+            logger.info("wandb unavailable; metrics go to JSONL only")
+            return
+        if wandb.run is None:
+            run = wandb.init(
+                project="diffusion-transformer",
+                config=self.config.to_dict(),
+                id=self.wandb_run_id,
+                resume="allow" if self.wandb_run_id else None,
+            )
+        else:
+            run = wandb.run
+        self.wandb_run_id = run.id
 
     def log_metrics(self, metrics: dict, epoch: int):
         record = {"step": self.global_step, "epoch": epoch, **metrics}
@@ -596,6 +642,11 @@ class Trainer:
 
 def build_loaders(config: TrainingConfig, **dataset_kw):
     """Dataset/loader wiring (reference main(), train_dit.py:1038-1090)."""
+    if config.dataset_type == "dummy":
+        # dummy frames must match the configured VAE's input geometry
+        vae_cfg = VAE_MODELS[config.vae_model]()
+        dataset_kw.setdefault("height", vae_cfg.input_height)
+        dataset_kw.setdefault("width", vae_cfg.input_width)
     train_ds = make_dataset(
         config.dataset_type, "train", config.use_action_conditioning,
         **dataset_kw,

@@ -2,18 +2,23 @@ import os
 
 # Tests run on a virtual 8-device CPU mesh — the TPU-native analogue of a
 # fake distributed backend (SURVEY.md §4). Must be set before jax imports.
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# GTAX_TPU_TESTS=1 keeps the real accelerator visible for the on-chip lane
+# (tests/test_tpu_onchip.py).
+_TPU_LANE = os.environ.get("GTAX_TPU_TESTS") == "1"
+if not _TPU_LANE:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 # The axon site package re-pins JAX_PLATFORMS at import time; the config
 # update below wins over it and guarantees the virtual 8-CPU mesh.
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _TPU_LANE:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -106,6 +106,35 @@ def test_fused_spatial_branch_matches_xla(golden):
     assert_close(out, ref, atol=5e-4, rtol=1e-3)
 
 
+def test_fused_mlp_backend_matches_xla(golden):
+    """Backend-equivalence for the remaining set_backend value: 'fused_mlp'
+    routes both MLP branches through the chunked Pallas MLP kernel."""
+    import os
+
+    from gtax.io import safetensors_port as port
+    from gtax.models.dit import dit_apply
+    from tests.conftest import GOLDEN
+    from tests.test_models_parity import DIT_SMALL
+
+    path = os.path.join(GOLDEN, "dit_small.safetensors")
+    if not os.path.exists(path):
+        pytest.skip("run scripts/gen_golden.py first")
+    params, _, _ = port.dit_from_torch(port.read_safetensors(path), DIT_SMALL)
+    g = golden("dit_small.npz")
+    x, t = jnp.asarray(g["x"]), jnp.asarray(g["t"])
+    acts = jnp.asarray(g["actions"])
+
+    nnattn.set_backend("xla")
+    ref = dit_apply(params, DIT_SMALL, x, t, acts, compute_dtype=jnp.float32)
+    nnattn.set_backend("fused_mlp")
+    try:
+        out = dit_apply(params, DIT_SMALL, x, t, acts,
+                        compute_dtype=jnp.float32)
+    finally:
+        nnattn.set_backend("xla")
+    assert_close(out, ref, atol=5e-4, rtol=1e-3)
+
+
 def test_fused_backend_with_valid_mask(golden):
     """Fused temporal kernel must honour the padded-window validity mask
     (the rollout path)."""

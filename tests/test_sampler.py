@@ -124,7 +124,7 @@ def test_rollout_matches_python_loop(dit_fn, dit_small_params):
         window = jnp.concatenate([ctx[:, -4:], noise], axis=1)
         awin = actions[:, i - 4 : i + 1]
         valid = jnp.asarray([True] * 5)
-        window = sd.denoise_window(
+        window, _ = sd.denoise_window(
             dit_fn, window, awin, valid, cfg, abar, noise_range
         )
         frames.append(window[:, -1])

@@ -177,6 +177,93 @@ def test_tensor_parallel_mesh(tmp_path):
     assert np.isfinite(metrics["train_loss"])
 
 
+def test_predict_noise_diagnostics(tmp_path):
+    """renoise eval returns distinct, truthful tensors for the debug grid
+    (reference predict_noise + visualize_step, train_dit.py:466-552)."""
+    trainer, _ = tiny_trainer(tmp_path)
+    b = dummy_batches(1, 2)[0]
+    from gtax.data.loader import Batch
+
+    os.chdir(tmp_path)
+    out = trainer.predict_noise(Batch(video=b.video, actions=b.actions))
+    assert out.shape == (1, 5, 4, TINY_VAE.seq_h, TINY_VAE.seq_w)
+    # the jitted renoise returns the full diagnostics dict
+    latents = encode_frames(trainer.vae_params, TINY_VAE,
+                            jnp.asarray(b.video[:1]), jnp.float32)
+    diag = trainer._rollout_cache["renoise"](
+        trainer.dit_params, latents, jnp.asarray(b.actions[:1]),
+        jax.random.PRNGKey(0),
+    )
+    x_noisy, noise, v = diag["x_noisy"], diag["noise"], diag["v"]
+    den = diag["denoised"]
+    # noisy window really is ctx noised at stabilization_level-1 + pure noise
+    assert not np.allclose(np.asarray(x_noisy), np.asarray(latents))
+    assert not np.allclose(np.asarray(v), np.asarray(den))
+    # context frames of the denoised window are the noisy context, unchanged
+    np.testing.assert_array_equal(np.asarray(den[:, :-1]),
+                                  np.asarray(x_noisy[:, :-1]))
+    # the recorded noise reconstructs the noisy context exactly
+    abar, _ = trainer.sampler_cfg.tables()
+    a = abar[trainer.sampler_cfg.stabilization_level - 1]
+    recon = jnp.sqrt(a) * latents[:, :-1] + jnp.sqrt(1 - a) * noise[:, :-1]
+    np.testing.assert_allclose(np.asarray(recon), np.asarray(x_noisy[:, :-1]),
+                               atol=1e-6)
+
+
+def test_loader_epoch_semantics():
+    """Map-style datasets yield exactly one epoch per __iter__ (torch
+    DataLoader parity, reference train_dit.py:920-934), reshuffled per epoch."""
+
+    class Indexed:
+        def __len__(self):
+            return 6
+
+        def __getitem__(self, i):
+            return {"video": np.full((1, 1, 2, 2), float(i), np.float32)}
+
+    loader = DataLoader(Indexed(), batch_size=2, num_workers=1, seed=0)
+    ep1 = [b.video for b in loader]
+    ep2 = [b.video for b in loader]
+    assert len(ep1) == 3 and len(ep2) == 3
+    assert loader.epoch == 2
+    ids1 = sorted(np.concatenate(ep1).ravel()[:: 4].tolist())
+    ids2 = sorted(np.concatenate(ep2).ravel()[:: 4].tolist())
+    assert ids1 == ids2 == [0.0, 1.0, 2.0, 3.0, 4.0, 5.0]  # same multiset
+    order1 = np.concatenate(ep1).ravel()[::4].tolist()
+    order2 = np.concatenate(ep2).ravel()[::4].tolist()
+    assert order1 != order2  # per-epoch reshuffle
+
+
+def test_epoch_bounded_training(tmp_path):
+    """num_epochs alone terminates training (no max_steps) and start_epoch
+    advances — reference epoch semantics (train_dit.py:920-934)."""
+    mesh = meshlib.make_mesh(meshlib.MeshConfig(data=1, model=1),
+                             devices=jax.devices()[:1])
+    config = TrainingConfig.from_dict(dict(
+        dataset_type="dummy", batch_size=2, validation_batch_size=2,
+        num_epochs=2, max_steps=0, gradient_accumulation_steps=1,
+        ddim_noise_steps=4, ddim_noise_steps_inference=2, ctx_max_noise_idx=2,
+        n_prompt_frames=4, use_wandb=False, use_action_conditioning=True,
+        learning_rate=1e-3, output_dir=str(tmp_path),
+        compute_dtype="float32", validation_steps=0, save_every=0,
+        logging_steps=100, resume_from_checkpoint=False,
+    ))
+    key = jax.random.PRNGKey(0)
+    trainer = Trainer(
+        config, total_dataset_size=8, dit_cfg=TINY_DIT, vae_cfg=TINY_VAE,
+        dit_params=dit_init(key, TINY_DIT),
+        vae_params=vae_init(key, TINY_VAE), mesh=mesh,
+    )
+    assert trainer.steps_per_epoch == 4
+    ds = DummyDataset("train", return_actions=True, height=FRAME_HW[0],
+                      width=FRAME_HW[1], size=8)
+    loader = DataLoader(ds, batch_size=2, num_workers=1, seed=0)
+    trainer.training_loop(loader, val_loader=None)
+    assert trainer.global_step == 8  # 2 epochs x 4 steps, self-terminated
+    assert trainer.start_epoch == 2
+    assert loader.epoch == 2
+
+
 def test_rollout_and_video(tmp_path):
     trainer, _ = tiny_trainer(tmp_path)
     b = dummy_batches(1, 2)[0]
