@@ -135,6 +135,7 @@ def test_fused_mlp_backend_matches_xla(golden):
     assert_close(out, ref, atol=5e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_fused_backend_with_valid_mask(golden):
     """Fused temporal kernel must honour the padded-window validity mask
     (the rollout path)."""

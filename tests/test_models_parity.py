@@ -123,6 +123,7 @@ def test_port_roundtrip():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_fullsize_key_manifest(golden):
     """Our port's expected key set must exactly cover the real DiT-S/2 and
     ViT-L/20 state_dicts (shapes included)."""

@@ -50,6 +50,7 @@ def test_deeper_pipeline_mechanics(dit_small_params, depth):
     assert gen.std() > 0
 
 
+@pytest.mark.slow
 def test_pipeline_call_count(dit_small_params):
     """Depth-P rollouts make ~P-fold fewer DiT calls per frame."""
     calls = {"n": 0}

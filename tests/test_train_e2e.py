@@ -73,6 +73,7 @@ def test_vae_roundtrip_shapes():
     assert pix.shape == (2, 5, *FRAME_HW, 3) and pix.dtype == jnp.uint8
 
 
+@pytest.mark.slow
 def test_train_loss_decreases(tmp_path):
     trainer, _ = tiny_trainer(tmp_path)
     from gtax.data.loader import Batch
@@ -89,6 +90,7 @@ def test_train_loss_decreases(tmp_path):
     assert losses[-1] < losses[0], losses
 
 
+@pytest.mark.slow
 def test_checkpoint_save_resume(tmp_path):
     trainer, config = tiny_trainer(tmp_path)
     b = dummy_batches(1, 2)[0]
@@ -148,6 +150,7 @@ def test_data_parallel_step_multi_device(tmp_path):
     assert np.isfinite(metrics["train_loss"])
 
 
+@pytest.mark.slow
 def test_tensor_parallel_mesh(tmp_path):
     """data=4 x model=2 mesh: block kernels shard over 'model' and the step
     still runs and produces finite loss."""
@@ -234,6 +237,7 @@ def test_loader_epoch_semantics():
     assert order1 != order2  # per-epoch reshuffle
 
 
+@pytest.mark.slow
 def test_epoch_bounded_training(tmp_path):
     """num_epochs alone terminates training (no max_steps) and start_epoch
     advances — reference epoch semantics (train_dit.py:920-934)."""
