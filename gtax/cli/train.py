@@ -25,6 +25,12 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
+    # multi-host init MUST run before any other jax use (no-op when
+    # single-process; env/TPU-pod autodetect in gtax.parallel.mesh)
+    from gtax.parallel.mesh import initialize_distributed
+
+    initialize_distributed()
+
     from gtax.train.config import TrainingConfig
 
     config = TrainingConfig.from_yaml(args.config)

@@ -61,6 +61,8 @@ class DataLoader:
         drop_last: bool = True,
         seed: int = 0,
         shuffle: bool | None = None,
+        rank: int = 0,
+        world: int = 1,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -68,6 +70,8 @@ class DataLoader:
         self.prefetch = max(1, prefetch)
         self.drop_last = drop_last
         self.seed = seed
+        self.rank = rank
+        self.world = max(1, world)
         is_iterable = not hasattr(dataset, "__getitem__")
         self.shuffle = (
             shuffle if shuffle is not None else not is_iterable
@@ -82,8 +86,12 @@ class DataLoader:
     def _sample_iter(self) -> Iterator[dict]:
         """One pass over the dataset per call (torch-DataLoader epoch
         semantics, reference train_dit.py:920-934). Map-style datasets
-        reshuffle each epoch with a per-epoch seed; resampled/iterable streams
-        (webdataset) yield whatever the stream yields — possibly infinite."""
+        reshuffle each epoch with a per-epoch seed; with world > 1 each rank
+        takes a disjoint stride of the SAME permutation (torch
+        DistributedSampler semantics — the reference gets this from
+        accelerator.prepare(dataloader), train_dit.py:854).
+        Resampled/iterable streams (webdataset) yield whatever the stream
+        yields — possibly infinite; they shard internally."""
         if self.is_iterable:
             yield from iter(self.dataset)
         else:
@@ -91,7 +99,7 @@ class DataLoader:
             rng = np.random.default_rng(self.seed + self.epoch)
             order = rng.permutation(n) if self.shuffle else np.arange(n)
             self.epoch += 1
-            for i in order:
+            for i in order[self.rank::self.world]:
                 yield self.dataset[int(i)]
 
     def __iter__(self) -> Iterator[Batch]:
@@ -139,16 +147,21 @@ class DataLoader:
 
 def device_prefetch(batches: Iterator[Batch], sharding=None, depth: int = 2):
     """Asynchronously device_put up to `depth` batches ahead; yields device
-    arrays. With a NamedSharding, each host transfers its local shard."""
+    arrays. With a NamedSharding, each host transfers its local shard: in
+    multi-process runs the incoming batch is this PROCESS'S slice and the
+    yielded arrays are global (jax.make_array_from_process_local_data)."""
     import collections
+
+    from gtax.parallel.mesh import global_batch_from_local
 
     buf = collections.deque()
 
     def put(b: Batch):
         if sharding is not None:
-            video = jax.device_put(b.video, sharding)
+            video = global_batch_from_local(sharding, b.video)
             actions = (
-                jax.device_put(b.actions, sharding) if b.actions is not None else None
+                global_batch_from_local(sharding, b.actions)
+                if b.actions is not None else None
             )
         else:
             video = jax.device_put(b.video)

@@ -100,7 +100,30 @@ def param_sharding(mesh: Mesh, params, rules=_dit_param_spec):
 
 def initialize_distributed(coordinator_address=None, num_processes=None,
                            process_id=None):
-    """Multi-host init (TPU pods). No-op when running single-process."""
+    """Multi-host init. Three modes:
+
+    - explicit args (tests, manual clusters);
+    - env-driven: GTAX_COORDINATOR / GTAX_NUM_PROCESSES / GTAX_PROCESS_ID
+      (the launch scripts export these per host);
+    - TPU-pod auto-detect: when the standard TPU runtime env is present,
+      jax.distributed.initialize() discovers the topology itself.
+
+    No-op when running single-process. Reference equivalent: Accelerate's
+    process-group init at /root/reference/train_dit.py:182-188.
+    """
+    import os
+
+    if num_processes is None:
+        env_n = os.environ.get("GTAX_NUM_PROCESSES")
+        if env_n is not None:
+            num_processes = int(env_n)
+            coordinator_address = os.environ.get("GTAX_COORDINATOR")
+            process_id = int(os.environ["GTAX_PROCESS_ID"])
+        elif os.environ.get("TPU_WORKER_HOSTNAMES") or os.environ.get(
+            "MEGASCALE_COORDINATOR_ADDRESS"
+        ):
+            jax.distributed.initialize()  # TPU pod: auto-discovered
+            return
     if num_processes is None or num_processes <= 1:
         return
     jax.distributed.initialize(
@@ -116,3 +139,15 @@ def process_batch_slice(global_batch: int) -> slice:
     per = global_batch // n
     i = jax.process_index()
     return slice(i * per, (i + 1) * per)
+
+
+def global_batch_from_local(sharding: NamedSharding, local: np.ndarray):
+    """Assemble a global sharded array from this process's slice of the batch.
+
+    Single-process: a plain device_put. Multi-process: each host transfers
+    only its local rows; the result is one global jax.Array laid out per
+    `sharding` with no cross-host data movement (the TPU-native equivalent of
+    DDP per-rank loaders, reference train_dit.py:854)."""
+    if jax.process_count() == 1:
+        return jax.device_put(local, sharding)
+    return jax.make_array_from_process_local_data(sharding, local)

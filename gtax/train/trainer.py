@@ -500,6 +500,16 @@ class Trainer:
     def save_model(self, epoch: int):
         """Weight-only safetensors export (reference save_model,
         train_dit.py:746-763)."""
+        if jax.process_count() > 1:
+            # collective: every process participates (params may be sharded
+            # over 'model' across hosts), then only process 0 writes
+            from jax.experimental import multihost_utils
+
+            host_params = multihost_utils.process_allgather(
+                self.dit_params, tiled=True
+            )
+        else:
+            host_params = jax.device_get(self.dit_params)
         if jax.process_index() != 0:
             return
         os.makedirs(self.config.output_dir, exist_ok=True)
@@ -508,7 +518,7 @@ class Trainer:
             f"{self.config.model_name}_epoch_{epoch + 1}_{self.global_step}"
             ".safetensors",
         )
-        port.save_dit(path, jax.device_get(self.dit_params), self.dit_cfg)
+        port.save_dit(path, host_params, self.dit_cfg)
         logger.warning("Saved checkpoint to %s", path)
 
     def _ckpt_dir(self):
@@ -527,10 +537,15 @@ class Trainer:
         path = self._ckpt_dir()
         if jax.process_index() == 0:
             os.makedirs(os.path.dirname(path), exist_ok=True)
+        # live (possibly host-sharded) jax.Arrays: every process participates
+        # in the orbax save, which is the multi-host-correct protocol — never
+        # device_get here (each host would race to write the same files)
         state = {
-            "params": jax.device_get(self.dit_params),
-            "opt_state": jax.device_get(self.opt_state),
-            "rng": jax.device_get(self.rng),
+            "params": self.dit_params,
+            "opt_state": self.opt_state,
+            # rng is identical on every host (same seed, same split sequence);
+            # replicate it on the mesh so multi-host orbax sees one sharding
+            "rng": jax.device_put(self.rng, self.replicated),
         }
         ckptr = ocp.StandardCheckpointer()
         ckptr.save(os.path.join(path, f"state_{self.global_step}"), state)
@@ -571,17 +586,22 @@ class Trainer:
             if hasattr(self.train_dataset, "cursor"):
                 self.train_dataset.cursor = list(state_meta["data_cursor"])
         ckptr = ocp.StandardCheckpointer()
+        # abstract template with the LIVE shardings: each host restores only
+        # its shards, directly onto its devices (multi-host correct)
+        abstract = lambda x: jax.ShapeDtypeStruct(  # noqa: E731
+            x.shape, x.dtype, sharding=x.sharding
+        )
         template = {
-            "params": jax.device_get(self.dit_params),
-            "opt_state": jax.device_get(self.opt_state),
-            "rng": jax.device_get(self.rng),
+            "params": jax.tree.map(abstract, self.dit_params),
+            "opt_state": jax.tree.map(abstract, self.opt_state),
+            "rng": abstract(jax.device_put(self.rng, self.replicated)),
         }
         state = ckptr.restore(
             os.path.join(path, f"state_{self.global_step}"), template
         )
-        self.dit_params = jax.device_put(state["params"], self.param_sharding)
-        self.opt_state = jax.device_put(state["opt_state"], self.replicated)
-        self.rng = jnp.asarray(state["rng"])
+        self.dit_params = state["params"]
+        self.opt_state = state["opt_state"]
+        self.rng = jnp.asarray(jax.device_get(state["rng"]))
         # fast-forward within the epoch (reference :837-839)
         self.skip_batches = (
             (self.global_step % max(1, self.steps_per_epoch))
@@ -641,12 +661,24 @@ class Trainer:
 
 
 def build_loaders(config: TrainingConfig, **dataset_kw):
-    """Dataset/loader wiring (reference main(), train_dit.py:1038-1090)."""
+    """Dataset/loader wiring (reference main(), train_dit.py:1038-1090).
+
+    Multi-process: each process builds a loader over ONLY its slice of the
+    data — map-style datasets via DistributedSampler-style rank/world strides,
+    the tar streamer via (process, worker) shard splitting — and yields
+    batch_size * local_device_count samples per step. The global batch is
+    assembled shard-by-shard in device_prefetch (no process ever materialises
+    another host's rows). Reference equivalent: accelerator.prepare(loader)
+    per-rank sharding, train_dit.py:854."""
+    rank, world = jax.process_index(), jax.process_count()
     if config.dataset_type == "dummy":
         # dummy frames must match the configured VAE's input geometry
         vae_cfg = VAE_MODELS[config.vae_model]()
         dataset_kw.setdefault("height", vae_cfg.input_height)
         dataset_kw.setdefault("width", vae_cfg.input_width)
+    elif config.dataset_type == "webdataset" and world > 1:
+        dataset_kw.setdefault("worker_index", rank)
+        dataset_kw.setdefault("num_workers", world)
     train_ds = make_dataset(
         config.dataset_type, "train", config.use_action_conditioning,
         **dataset_kw,
@@ -655,14 +687,15 @@ def build_loaders(config: TrainingConfig, **dataset_kw):
         config.dataset_type, "validation", config.use_action_conditioning,
         **dataset_kw,
     )
-    n_dev = len(jax.devices())
+    n_local = jax.local_device_count()
     train_loader = DataLoader(
-        train_ds, batch_size=config.batch_size * n_dev,
+        train_ds, batch_size=config.batch_size * n_local,
         num_workers=min(os.cpu_count() or 1, 32), seed=config.seed,
+        rank=rank, world=world,
     )
     val_loader = DataLoader(
         val_ds, batch_size=config.validation_batch_size,
         num_workers=min(os.cpu_count() or 1, 8), seed=config.seed,
-        shuffle=False,
+        shuffle=False, rank=rank, world=world,
     )
     return train_loader, val_loader
