@@ -103,6 +103,23 @@ def main():
     fps = num_gen / best
 
     pipe_tag = f", pipeline_depth={pipeline}" if pipeline > 1 else ""
+
+    # vs_baseline: ratio to the torch-reference A100 estimate recorded in
+    # BASELINE_MEASURED.json (methodology in BASELINE.md: measured torch-CPU
+    # per-forward anchors the model cost; the A100 eager band converts it;
+    # the CONSERVATIVE high end of the band is used, so vs_baseline is a
+    # lower bound on the true speedup).
+    vs_baseline = None
+    baseline_fps = None
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BASELINE_MEASURED.json")
+    if os.path.exists(base_path):
+        with open(base_path) as f:
+            measured = json.load(f)
+        baseline_fps = measured.get("torch_a100_est_fps", {}).get("high")
+        if baseline_fps:
+            vs_baseline = round(fps / baseline_fps, 2)
+
     result = {
         "metric": (
             f"frames/sec, {frames}-frame {steps}-step action-conditioned "
@@ -111,7 +128,9 @@ def main():
         ),
         "value": round(fps, 4),
         "unit": "frames/sec",
-        "vs_baseline": None,
+        "vs_baseline": vs_baseline,
+        "baseline_fps": baseline_fps,
+        "baseline_note": "torch A100 eager estimate (high end), BASELINE.md",
     }
     print(json.dumps(result))
     return result

@@ -166,7 +166,7 @@ def _block_init(key, D, H4, H6):
 def _block_apply(x, c, bp, spatial_freqs, temporal_freqs, num_heads, valid, dtype):
     """One SpatioTemporalDiTBlock (reference model/dit.py:200-225)."""
     sh1, sc1, g1, sh2, sc2, g2 = adaln(bp["s_adaln"], c, 6, dtype)
-    if attn.get_backend() == "fused":
+    if attn.get_backend() in ("fused", "fused_all"):
         # whole spatial attention branch as one VMEM-resident Pallas kernel
         from gtax.kernels.block import fused_spatial_branch
 
@@ -192,10 +192,9 @@ def _block_apply(x, c, bp, spatial_freqs, temporal_freqs, num_heads, valid, dtyp
             g1,
         )
     def mlp_branch(x, prms, shift, scale, g):
-        # NOTE: measured on v5e, the chunked fused-MLP kernel is slower than
-        # XLA's fused mlp chain (9.8ms vs 8.8ms full-forward); it stays
-        # available under the "fused_mlp" backend for future tuning.
-        if attn.get_backend() == "fused_mlp":
+        # single-pass whole-branch MLP kernel (weights VMEM-resident, LN
+        # computed once — the fix for round-1's chunked negative result)
+        if attn.get_backend() in ("fused_mlp", "fused_all"):
             from gtax.kernels.block import fused_mlp_branch
 
             B, T, gh, gw, D = x.shape
@@ -218,7 +217,9 @@ def _block_apply(x, c, bp, spatial_freqs, temporal_freqs, num_heads, valid, dtyp
     x = mlp_branch(x, bp["s_mlp"], sh2, sc2, g2)
 
     th1, tc1, tg1, th2, tc2, tg2 = adaln(bp["t_adaln"], c, 6, dtype)
-    if attn.get_backend() == "fused" and (valid is None or valid.ndim == 1):
+    if attn.get_backend() in ("fused", "fused_all") and (
+            valid is None or valid.ndim == 1
+    ):
         from gtax.kernels.block import fused_temporal_branch
 
         B, T, gh, gw, D = x.shape

@@ -30,9 +30,11 @@ _BACKEND = "xla"
 
 def set_backend(name: str) -> None:
     """xla: reference-semantics einsum path. pallas: fused attention kernels.
-    fused: whole-branch Pallas megakernels (inference fast path)."""
+    fused: whole-branch Pallas attention megakernels. fused_mlp: Pallas MLP
+    branches only. fused_all: attention AND MLP branches fused (inference
+    fast path)."""
     global _BACKEND
-    assert name in ("xla", "pallas", "fused", "fused_mlp"), name
+    assert name in ("xla", "pallas", "fused", "fused_mlp", "fused_all"), name
     _BACKEND = name
 
 

@@ -124,8 +124,12 @@ def make_rollout(dit_fn, max_frames: int, cfg: SamplerConfig):
     a jit ARGUMENT — never a closure constant — so the compiled executable
     does not embed gigabytes of weights as literals.
 
-    Returns rollout(params, prompt_latents, actions, rng, num_gen_frames) ->
-    (B, n_prompt + num_gen_frames, C, H, W) latents; num_gen_frames static.
+    Returns rollout(params, prompt_latents, actions, rng, num_gen_frames,
+    noise=None) -> (B, n_prompt + num_gen_frames, C, H, W) latents;
+    num_gen_frames static. `noise`, if given, is a pre-drawn
+    (B, num_gen_frames, C, H, W) tensor used for the fresh-frame latents
+    instead of on-device RNG — reproducibility hook that lets the PSNR
+    parity gate feed BOTH frameworks identical noise.
 
     The reference equivalent is the frame loop at generate.py:200-235; here it
     is a lax.scan whose carry is the (max_frames-1)-slot context buffer.
@@ -134,7 +138,8 @@ def make_rollout(dit_fn, max_frames: int, cfg: SamplerConfig):
     W = max_frames
 
     @partial(jax.jit, static_argnames=("num_gen_frames",))
-    def rollout(params, prompt_latents, actions, rng, num_gen_frames: int):
+    def rollout(params, prompt_latents, actions, rng, num_gen_frames: int,
+                noise=None):
         bound_dit = lambda x, t, a, v: dit_fn(params, x, t, a, v)  # noqa: E731
         B, n_prompt, C, H, Wd = prompt_latents.shape
         assert n_prompt >= 1
@@ -158,12 +163,17 @@ def make_rollout(dit_fn, max_frames: int, cfg: SamplerConfig):
             ctx_buf, key = carry
             i = n_prompt + s  # absolute index of the frame being generated
             key, sub = jax.random.split(key)
-            noise = jnp.clip(
-                jax.random.normal(sub, (B, 1, C, H, Wd), jnp.float32),
-                -cfg.noise_abs_max,
-                cfg.noise_abs_max,
-            )
-            window = jnp.concatenate([ctx_buf, noise], axis=1)  # (B, W, ...)
+            if noise is None:
+                fresh = jnp.clip(
+                    jax.random.normal(sub, (B, 1, C, H, Wd), jnp.float32),
+                    -cfg.noise_abs_max,
+                    cfg.noise_abs_max,
+                )
+            else:
+                fresh = jax.lax.dynamic_slice(
+                    noise, (0, s, 0, 0, 0), (B, 1, C, H, Wd)
+                ).astype(jnp.float32)
+            window = jnp.concatenate([ctx_buf, fresh], axis=1)  # (B, W, ...)
             # slot j holds frame i - (W-1) + j; valid iff that index >= 0
             valid = (jnp.arange(W) + i - (W - 1)) >= 0
             if actions_padded is not None:

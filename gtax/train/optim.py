@@ -51,12 +51,17 @@ def make_optimizer(
     b1: float = 0.9,
     b2: float = 0.999,
     eps: float = 1e-7,
+    mu_dtype=None,
 ):
+    """mu_dtype: storage dtype for Adam's first moment (e.g. jnp.bfloat16
+    halves that buffer on memory-tight single-chip runs; update math is
+    unchanged — optax upcasts before use)."""
     schedule = cosine_min_lr_schedule(
         learning_rate, min_learning_rate, warmup_steps, total_steps
     )
     tx = optax.chain(
         optax.clip_by_global_norm(max_grad_norm),
-        optax.adamw(schedule, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay),
+        optax.adamw(schedule, b1=b1, b2=b2, eps=eps,
+                    weight_decay=weight_decay, mu_dtype=mu_dtype),
     )
     return tx, schedule

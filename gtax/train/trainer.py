@@ -394,6 +394,14 @@ class Trainer:
                 )
             )
         avg = sum(losses) / max(1, len(losses))
+        if jax.process_count() > 1:
+            # cross-process mean — the reference logs main-rank-local val loss
+            # (quirk 9, train_dit.py:740); gtax reduces properly
+            from jax.experimental import multihost_utils
+
+            avg = float(
+                np.mean(multihost_utils.process_allgather(np.float32(avg)))
+            )
         logger.info("val_loss=%.5f at step %d", avg, self.global_step)
         self.log_metrics({"val_loss": avg}, epoch=self.start_epoch)
         if first_batch is not None:

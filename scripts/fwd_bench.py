@@ -1,0 +1,95 @@
+"""Per-forward latency of the flagship DiT under each attention backend, plus
+an optional jax.profiler trace (VERDICT r1 next-#3 measurement harness).
+
+Usage:  python scripts/fwd_bench.py [--dtype bfloat16] [--repeats 20]
+            [--profile DIR] [--backends xla,fused,fused_all]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--repeats", type=int, default=20)
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--profile", default=None)
+    p.add_argument("--backends", default="xla,pallas,fused,fused_mlp,fused_all")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from gtax.models.dit import (DiT_MODELS, cast_params_for_inference,
+                                 dit_apply, dit_init)
+    from gtax.nn import attention as attention_mod
+    from gtax.utils.profiling import dit_forward_flops, trace
+
+    cfg = DiT_MODELS["DiT-S/2"]()
+    dtype = jnp.dtype(args.dtype)
+    params = jax.jit(lambda k: dit_init(k, cfg))(jax.random.PRNGKey(0))
+    if dtype != jnp.float32:
+        params = jax.jit(lambda p: cast_params_for_inference(p, dtype))(params)
+
+    B = args.batch
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, 5, 16, 18, 32))
+    t = jnp.full((B, 5), 15, jnp.int32)
+    a = jax.random.normal(jax.random.PRNGKey(2), (B, 5, 25))
+
+    flops = dit_forward_flops(cfg, B, 5)
+    K = args.repeats  # forwards per timed program
+
+    results = {}
+    for backend in args.backends.split(","):
+        attention_mod.set_backend(backend)
+
+        # K chained forwards inside ONE program (device-side scan, each
+        # iteration's input depends on the previous output) — per-call host
+        # timing through the remote tunnel is unreliable (block_until_ready
+        # returns early on small programs), and chaining defeats dead-code
+        # elimination and input caching.
+        def chain(p, x, t, a):
+            def body(xc, _):
+                v = dit_apply(p, cfg, xc, t, a, None, compute_dtype=dtype)
+                return v.astype(xc.dtype), ()
+
+            out, _ = jax.lax.scan(body, x, None, length=K)
+            return out
+
+        # NOTE: time via a host FETCH of a reduced result — through the axon
+        # tunnel block_until_ready returns without waiting, so only a
+        # round-trip of real bytes bounds the execution.
+        jchain = jax.jit(
+            lambda p, x, t, a: jnp.sum(chain(p, x, t, a))
+        )
+        float(jchain(params, x, t, a))  # compile + fetch
+        t0 = time.perf_counter()
+        float(jchain(params, x, t, a))
+        t1 = time.perf_counter()
+        float(jchain(params, x, t, a))
+        dt = min(t1 - t0, time.perf_counter() - t1) / K
+        results[backend] = {
+            "fwd_ms": round(dt * 1e3, 2),
+            "tflops": round(flops / dt / 1e12, 1),
+        }
+        print(backend, json.dumps(results[backend]), flush=True)
+        if args.profile and backend == "fused":
+            with trace(os.path.join(args.profile, backend)):
+                jchain(params, x, t, a).block_until_ready()
+    attention_mod.set_backend("xla")
+    print(json.dumps({"device": jax.devices()[0].device_kind,
+                      "dtype": dtype.name, "batch": B,
+                      "fwd_tflop": round(flops / 1e12, 3),
+                      "results": results}))
+
+
+if __name__ == "__main__":
+    main()

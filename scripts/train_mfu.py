@@ -1,0 +1,153 @@
+"""Measure train-step MFU for the DiT on the current accelerator.
+
+The step is the production trainer's math on latents: diffusion-forcing loss
+(gtax.sampling.diffusion.diffusion_forcing_loss, reference _shared_step at
+/root/reference/train_dit.py:554-682), value_and_grad, global-norm clip,
+AdamW update — one jitted, donated program. The frozen-VAE encode is excluded
+here to isolate DiT MFU (the BASELINE.md target is "DiT training >= 40% MFU");
+with it included the reported number would only go down in the denominator.
+
+MFU = 3 x analytic-forward-FLOPs / (step_time x peak). The 3x fwd+bwd factor
+undercounts bwd slightly (it is ~2x fwd for matmuls + recompute under remat),
+so the printed number is conservative.
+
+Usage (real chip):
+  python scripts/train_mfu.py [--batch 8] [--hidden 1024] [--depth 16]
+      [--steps 8] [--remat] [--mu-bf16] [--profile DIR]
+
+Known env limit (docs/PERF.md): the tunnel's remote-compile helper can crash
+(HTTP 500) on flagship-sized TRAIN programs; if that happens, ladder down
+with --hidden and extrapolate (results at each size are printed as JSON).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--hidden", type=int, default=1024)
+    p.add_argument("--depth", type=int, default=16)
+    p.add_argument("--heads", type=int, default=16)
+    p.add_argument("--steps", type=int, default=8)
+    p.add_argument("--warmup", type=int, default=2)
+    p.add_argument("--remat", action="store_true")
+    p.add_argument("--mu-bf16", action="store_true",
+                   help="store Adam's first moment in bfloat16")
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--profile", default=None)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from gtax.models.dit import DiTConfig, dit_apply, dit_init
+    from gtax.sampling.diffusion import LossConfig, diffusion_forcing_loss
+    from gtax.core import schedules
+    from gtax.train.optim import make_optimizer
+    from gtax.utils.profiling import MFUCounter, dit_forward_flops, trace
+
+    cfg = DiTConfig(hidden_size=args.hidden, depth=args.depth,
+                    num_heads=args.heads)
+    dtype = jnp.dtype(args.dtype)
+    B, T = args.batch, cfg.max_frames
+
+    params = jax.jit(lambda k: dit_init(k, cfg))(jax.random.PRNGKey(0))
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+
+    tx, _ = make_optimizer(
+        1e-4, 1e-4, 10, 1000, weight_decay=0.0, max_grad_norm=1.0,
+        mu_dtype=jnp.bfloat16 if args.mu_bf16 else None,
+    )
+    opt_state = jax.jit(tx.init)(params)
+
+    betas = schedules.sigmoid_beta_schedule(1000, clamp_min=1e-6)
+    abar = schedules.alphas_cumprod_from_betas(betas)
+    noise_range = schedules.ddim_noise_range(50)
+    loss_cfg = LossConfig(ddim_noise_steps=50, ctx_max_noise_idx=40,
+                          n_prompt_frames=4, max_frames=T)
+
+    def dit_fn(prm):
+        def fn(x, t, a, valid):
+            inner = lambda p, x, t, a, v: dit_apply(  # noqa: E731
+                p, cfg, x, t, a, v, compute_dtype=dtype
+            )
+            if args.remat:
+                inner = jax.checkpoint(inner)
+            return inner(prm, x, t, a, valid)
+
+        return fn
+
+    def step(params, opt_state, latents, actions, rng):
+        def loss_for(prm):
+            mean_loss, sum_loss = diffusion_forcing_loss(
+                dit_fn(prm), latents, actions, rng, loss_cfg, abar, noise_range
+            )
+            return sum_loss, mean_loss
+
+        (_, mean_loss), grads = jax.value_and_grad(loss_for, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, mean_loss
+
+    jstep = jax.jit(step, donate_argnums=(0, 1))
+
+    latents = jax.random.normal(
+        jax.random.PRNGKey(1), (B, T, cfg.in_channels, cfg.input_h, cfg.input_w)
+    )
+    actions = jax.random.normal(jax.random.PRNGKey(2), (B, T, 25))
+
+    print(f"compiling: {n_params/1e6:.0f}M params, B={B}, remat={args.remat}, "
+          f"mu_bf16={args.mu_bf16}, dtype={dtype.name}", flush=True)
+    t0 = time.time()
+    key = jax.random.PRNGKey(3)
+    params, opt_state, loss = jstep(params, opt_state, latents, actions, key)
+    loss.block_until_ready()
+    compile_s = time.time() - t0
+    print(f"compiled+step0 in {compile_s:.0f}s, loss={float(loss):.4f}",
+          flush=True)
+
+    times = []
+    with trace(args.profile):
+        for i in range(args.steps):
+            key = jax.random.fold_in(key, i)
+            t0 = time.perf_counter()
+            params, opt_state, loss = jstep(params, opt_state, latents,
+                                            actions, key)
+            loss.block_until_ready()
+            dt = time.perf_counter() - t0
+            if i >= args.warmup:
+                times.append(dt)
+            print(f"step {i}: {dt*1e3:.1f} ms", flush=True)
+
+    mean_s = sum(times) / len(times)
+    n_gen = T - loss_cfg.n_prompt_frames
+    flops = 3.0 * dit_forward_flops(cfg, B, T) * n_gen
+    mfu = MFUCounter(flops, 1)
+    result = {
+        "params_m": round(n_params / 1e6, 1),
+        "batch": B,
+        "hidden": args.hidden,
+        "depth": args.depth,
+        "remat": args.remat,
+        "mu_bf16": args.mu_bf16,
+        "device": jax.devices()[0].device_kind,
+        "step_ms": round(mean_s * 1e3, 2),
+        "flops_per_step": flops,
+        "mfu": round(mfu.mfu(mean_s), 4),
+        "compile_s": round(compile_s, 1),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

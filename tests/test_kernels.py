@@ -106,9 +106,10 @@ def test_fused_spatial_branch_matches_xla(golden):
     assert_close(out, ref, atol=5e-4, rtol=1e-3)
 
 
-def test_fused_mlp_backend_matches_xla(golden):
-    """Backend-equivalence for the remaining set_backend value: 'fused_mlp'
-    routes both MLP branches through the chunked Pallas MLP kernel."""
+@pytest.mark.parametrize("backend", ["fused_mlp", "fused_all"])
+def test_fused_mlp_backend_matches_xla(golden, backend):
+    """Backend-equivalence for the remaining set_backend values: 'fused_mlp'
+    (Pallas MLP branches only) and 'fused_all' (attention + MLP fused)."""
     import os
 
     from gtax.io import safetensors_port as port
@@ -126,7 +127,7 @@ def test_fused_mlp_backend_matches_xla(golden):
 
     nnattn.set_backend("xla")
     ref = dit_apply(params, DIT_SMALL, x, t, acts, compute_dtype=jnp.float32)
-    nnattn.set_backend("fused_mlp")
+    nnattn.set_backend(backend)
     try:
         out = dit_apply(params, DIT_SMALL, x, t, acts,
                         compute_dtype=jnp.float32)

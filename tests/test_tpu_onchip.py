@@ -39,7 +39,8 @@ def setup():
     return params, x, t, acts
 
 
-@pytest.mark.parametrize("backend", ["pallas", "fused", "fused_mlp"])
+@pytest.mark.parametrize("backend", ["pallas", "fused", "fused_mlp",
+                                     "fused_all"])
 def test_backend_equivalence_onchip(setup, backend):
     params, x, t, acts = setup
     nnattn.set_backend("xla")
