@@ -26,12 +26,21 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_INTERPRET = False  # flipped by tests on CPU
+_INTERPRET = None  # None = auto (interpret iff default backend is CPU)
 
 
-def set_interpret(value: bool) -> None:
+def set_interpret(value: bool | None) -> None:
     global _INTERPRET
-    _INTERPRET = bool(value)
+    _INTERPRET = value if value is None else bool(value)
+
+
+def interpret_mode() -> bool:
+    """Pallas kernels are Mosaic-lowered (TPU only); on CPU they must run in
+    interpret mode. Auto-detect so `attention_backend: fused` configs work
+    everywhere; tests pin via set_interpret."""
+    if _INTERPRET is None:
+        return jax.default_backend() == "cpu"
+    return _INTERPRET
 
 
 def _block_rows(S: int, d: int, dtype_bytes: int = 2) -> int:
@@ -86,7 +95,7 @@ def _fused_sdpa_flat(q, k, v, bias, causal=False):
         ],
         out_specs=pl.BlockSpec((bn, S, d), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        interpret=_INTERPRET,
+        interpret=interpret_mode(),
     )(q, k, v, bias)
     return out[:N] if n_pad else out
 
@@ -193,7 +202,7 @@ def _mha_token_major_flat(q, k, v, bias, num_heads, causal=False):
         ],
         out_specs=pl.BlockSpec((bn, S, HD), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        interpret=_INTERPRET,
+        interpret=interpret_mode(),
     )(q, k, v, bias)
     return out[:N] if n_pad else out
 

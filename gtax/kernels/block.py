@@ -16,8 +16,11 @@ intermediates never leave VMEM:
     causal frame-pair scores are segment sums — no relayout at all;
   - LN statistics, softmax, and all GEMM accumulations run in fp32.
 
-Inference path only (the training step keeps the XLA graph, which autodiff
-handles); enabled via attention backend "fused"
+Training support: pallas_call has no autodiff, so gtax.nn.branches wraps each
+branch kernel in jax.custom_vjp (kernel forward, XLA-autodiff backward over
+an equivalent XLA implementation). Token rows tile over the pallas grid
+(_frames_per_tile) so training batches fit VMEM; inference shapes keep the
+single-tile layout. Enabled via attention backend "fused"/"fused_all"
 (gtax.nn.attention.set_backend) or directly through the branch functions.
 """
 
@@ -31,7 +34,15 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gtax.kernels.attention import _INTERPRET
+from gtax.kernels.attention import interpret_mode
+
+# fused-branch tiles are independent (parallel grid) and, at training batch
+# sizes, a tile's working set slightly exceeds the conservative 16 MB default
+# scoped-vmem budget — raise it (v5e has 128 MB VMEM per core)
+_BRANCH_PARAMS = pltpu.CompilerParams(
+    dimension_semantics=("parallel",),
+    vmem_limit_bytes=64 * 1024 * 1024,
+)
 
 
 def rotate_half_matrix(d: int) -> np.ndarray:
@@ -234,17 +245,32 @@ def fused_temporal_branch(x, shift, scale, gate, qkv_w, out_w, out_b,
     expand = lambda vv: jnp.repeat(vv, S, axis=0)  # noqa: E731
     shift, scale, gate = expand(shift), expand(scale), expand(gate)
     out_b = out_b.reshape(1, -1)
+    # temporal attention crosses frames WITHIN a batch element only, so the
+    # rows chunk exactly over batch elements (grid); each tile holds b_pt
+    # elements' full T*S rows — inference (B=1) keeps one tile
+    b_pt = _frames_per_tile(B, T * S)
+    n_tiles = B // b_pt
+    tile_rows = b_pt * T * S
+    row_spec = pl.BlockSpec((tile_rows, D), lambda c: (c, 0),
+                            memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(
-            _temporal_kernel, num_heads=num_heads, n_frames=T, n_batches=B,
-            seq_len=S, ln_eps=1e-6, mod_eps=1e-6,
+            _temporal_kernel, num_heads=num_heads, n_frames=T,
+            n_batches=b_pt, seq_len=S, ln_eps=1e-6, mod_eps=1e-6,
         ),
         out_shape=jax.ShapeDtypeStruct(xf.shape, x.dtype),
-        grid=(1,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 11
-        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        interpret=_INTERPRET,
+        grid=(n_tiles,),
+        in_specs=[
+            row_spec, row_spec, row_spec, row_spec,  # x, shift, scale, gate
+            full, full, full,                        # qkv_w, out_w, out_b
+            row_spec, row_spec,                      # cos, sin (per-row)
+            full, full,                              # Rf, seg
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # bias (T, T)
+        ],
+        out_specs=row_spec,
+        interpret=interpret_mode(),
+        compiler_params=_BRANCH_PARAMS,
     )(xf, shift, scale, gate, qkv_w, out_w, out_b, cos, sin, Rf, seg, bias)
     return out.reshape(N, S, D)
 
@@ -292,17 +318,38 @@ def fused_mlp_branch(x, shift, scale, gate, w1, b1, w2, b2,
     shift, scale, gate = expand(shift), expand(scale), expand(gate)
     b1 = b1.reshape(1, H)
     b2 = b2.reshape(1, D)
+    # rows are independent: chunk over frame tiles for training batches
+    fpt = _frames_per_tile(N, S)
+    n_tiles = N // fpt
+    tile_rows = fpt * S
+    row_spec = pl.BlockSpec((tile_rows, D), lambda c: (c, 0),
+                            memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(
             _mlp_kernel, ln_eps=1e-6, mod_eps=1e-6, approx_gelu=approx_gelu,
         ),
         out_shape=jax.ShapeDtypeStruct(xf.shape, x.dtype),
-        grid=(1,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        interpret=_INTERPRET,
+        grid=(n_tiles,),
+        in_specs=[row_spec, row_spec, row_spec, row_spec,
+                  full, full, full, full],
+        out_specs=row_spec,
+        interpret=interpret_mode(),
+        compiler_params=_BRANCH_PARAMS,
     )(xf, shift, scale, gate, w1, b1, w2, b2)
     return out.reshape(N, S, D)
+
+
+def _frames_per_tile(n_frames: int, seq_len: int, max_rows: int = 768) -> int:
+    """Largest divisor of n_frames whose tile stays within the VMEM budget
+    proven by the inference shapes (~720 rows). Training batches (N*S in the
+    thousands) are chunked on the pallas grid; inference (N*S <= max_rows)
+    keeps the original single-tile behaviour."""
+    per = max(1, min(n_frames, max_rows // seq_len if seq_len <= max_rows
+                     else 1))
+    while n_frames % per:
+        per -= 1
+    return per
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads",))
@@ -312,9 +359,16 @@ def fused_spatial_branch(x, shift, scale, gate, qkv_w, out_w, out_b,
     qkv_w: (D, 3D); out_w: (D, D); out_b: (D,);
     rope_freqs: (S, rot_dim) pixel-axial table (rot_dim == head_dim).
     Returns x + gate * SpatialAttention(modulate(LN(x))).
+
+    Frames are independent in spatial attention, so the token rows chunk
+    exactly over a grid of frame tiles (weights re-stream per tile — cheap
+    next to the tile's compute at training batch sizes).
     """
     N, S, D = x.shape
     d = D // num_heads
+    fpt = _frames_per_tile(N, S)
+    n_tiles = N // fpt
+    tile_rows = fpt * S
     cos = jnp.tile(jnp.cos(rope_freqs.astype(jnp.float32)), (N, 1))
     sin = jnp.tile(jnp.sin(rope_freqs.astype(jnp.float32)), (N, 1))
     R = jnp.asarray(rotate_half_matrix(d))
@@ -322,15 +376,28 @@ def fused_spatial_branch(x, shift, scale, gate, qkv_w, out_w, out_b,
     xf = x.reshape(N * S, D)
     expand = lambda v: jnp.repeat(v, S, axis=0)  # noqa: E731
     shift, scale, gate = expand(shift), expand(scale), expand(gate)
+    row_spec = pl.BlockSpec((tile_rows, D), lambda c: (c, 0),
+                            memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    rot = rope_freqs.shape[-1]
     out = pl.pallas_call(
         functools.partial(
-            _kernel, num_heads=num_heads, n_frames=N, seq_len=S,
+            _kernel, num_heads=num_heads, n_frames=fpt, seq_len=S,
             ln_eps=1e-6, mod_eps=1e-6,
         ),
         out_shape=jax.ShapeDtypeStruct(xf.shape, x.dtype),
-        grid=(1,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 10,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        interpret=_INTERPRET,
+        grid=(n_tiles,),
+        in_specs=[
+            row_spec, row_spec, row_spec, row_spec,  # x, shift, scale, gate
+            full, full, full,                        # qkv_w, out_w, out_b
+            pl.BlockSpec((tile_rows, rot), lambda c: (c, 0),
+                         memory_space=pltpu.VMEM),   # cos
+            pl.BlockSpec((tile_rows, rot), lambda c: (c, 0),
+                         memory_space=pltpu.VMEM),   # sin
+            full,                                    # R
+        ],
+        out_specs=row_spec,
+        interpret=interpret_mode(),
+        compiler_params=_BRANCH_PARAMS,
     )(xf, shift, scale, gate, qkv_w, out_w, out_b, cos, sin, R)
     return out.reshape(N, S, D)

@@ -63,6 +63,12 @@ class DiTConfig:
     # lax.scan unroll factor over the stacked blocks (perf knob: trades
     # compile time / code size for less loop overhead)
     scan_unroll: int = 1
+    # rematerialise each block in backward (jax.checkpoint on the scan body):
+    # the bwd pass stores only per-block boundary activations instead of every
+    # block's interior — the memory lever that fits flagship training on one
+    # chip. Rematting the WHOLE forward instead does NOT help: the scan's
+    # backward still stashes all 16 blocks' residuals at once.
+    block_remat: bool = False
 
     @property
     def grid_h(self) -> int:
@@ -166,13 +172,16 @@ def _block_init(key, D, H4, H6):
 def _block_apply(x, c, bp, spatial_freqs, temporal_freqs, num_heads, valid, dtype):
     """One SpatioTemporalDiTBlock (reference model/dit.py:200-225)."""
     sh1, sc1, g1, sh2, sc2, g2 = adaln(bp["s_adaln"], c, 6, dtype)
+    dtype_name = jnp.dtype(dtype).name
     if attn.get_backend() in ("fused", "fused_all"):
-        # whole spatial attention branch as one VMEM-resident Pallas kernel
-        from gtax.kernels.block import fused_spatial_branch
+        # whole spatial attention branch as one VMEM-resident Pallas kernel;
+        # the trainable wrapper adds an XLA-autodiff backward (custom_vjp) so
+        # the fused backend is legal under value_and_grad
+        from gtax.nn.branches import trainable_spatial_branch
 
         B, T, gh, gw, D = x.shape
         S = gh * gw
-        x = fused_spatial_branch(
+        x = trainable_spatial_branch(num_heads, dtype_name)(
             x.reshape(B * T, S, D),
             sh1.reshape(B * T, D),
             sc1.reshape(B * T, D),
@@ -181,7 +190,6 @@ def _block_apply(x, c, bp, spatial_freqs, temporal_freqs, num_heads, valid, dtyp
             bp["s_attn"]["out"]["kernel"].astype(dtype),
             bp["s_attn"]["out"]["bias"],
             spatial_freqs.reshape(S, -1),
-            num_heads,
         ).reshape(B, T, gh, gw, D)
     else:
         x = x + gate(
@@ -195,11 +203,11 @@ def _block_apply(x, c, bp, spatial_freqs, temporal_freqs, num_heads, valid, dtyp
         # single-pass whole-branch MLP kernel (weights VMEM-resident, LN
         # computed once — the fix for round-1's chunked negative result)
         if attn.get_backend() in ("fused_mlp", "fused_all"):
-            from gtax.kernels.block import fused_mlp_branch
+            from gtax.nn.branches import trainable_mlp_branch
 
             B, T, gh, gw, D = x.shape
             S = gh * gw
-            return fused_mlp_branch(
+            return trainable_mlp_branch(dtype_name)(
                 x.reshape(B * T, S, D),
                 shift.reshape(B * T, D),
                 scale.reshape(B * T, D),
@@ -220,11 +228,13 @@ def _block_apply(x, c, bp, spatial_freqs, temporal_freqs, num_heads, valid, dtyp
     if attn.get_backend() in ("fused", "fused_all") and (
             valid is None or valid.ndim == 1
     ):
-        from gtax.kernels.block import fused_temporal_branch
+        from gtax.nn.branches import trainable_temporal_branch
 
         B, T, gh, gw, D = x.shape
         S = gh * gw
-        x = fused_temporal_branch(
+        fn = trainable_temporal_branch(num_heads, T, valid is not None,
+                                       dtype_name)
+        args = (
             x.reshape(B * T, S, D),
             th1.reshape(B * T, D),
             tc1.reshape(B * T, D),
@@ -233,10 +243,10 @@ def _block_apply(x, c, bp, spatial_freqs, temporal_freqs, num_heads, valid, dtyp
             bp["t_attn"]["out"]["kernel"].astype(dtype),
             bp["t_attn"]["out"]["bias"],
             temporal_freqs,
-            valid,
-            num_heads,
-            T,
-        ).reshape(B, T, gh, gw, D)
+        )
+        if valid is not None:
+            args = args + (valid,)
+        x = fn(*args).reshape(B, T, gh, gw, D)
     else:
         x = x + gate(
             attn.temporal_axial_attention(
@@ -281,16 +291,25 @@ def dit_apply(
     if external_cond is not None:
         c = c + linear(params["external_cond"], external_cond, compute_dtype)
 
+    # rope frequency tables are NON-trainable (reference RotaryEmbedding uses
+    # learned_freq=False — rotary_embedding_torch.py:138-144); without
+    # stop_gradient AdamW would drift them away from the shipped checkpoints
     spatial_freqs = rope.axial_freqs(
-        params["spatial_rope_freqs"], (gh, gw), pixel=True
+        jax.lax.stop_gradient(params["spatial_rope_freqs"]), (gh, gw),
+        pixel=True,
     )
     temporal_freqs = rope.temporal_rope_freqs(
-        jnp.arange(T), params["temporal_rope_freqs"]
+        jnp.arange(T), jax.lax.stop_gradient(params["temporal_rope_freqs"])
     )
+
+    block = _block_apply
+    if cfg.block_remat:
+        # num_heads (5) and dtype (7) are static python values
+        block = jax.checkpoint(_block_apply, static_argnums=(5, 7))
 
     def body(carry, bp):
         return (
-            _block_apply(
+            block(
                 carry, c, bp, spatial_freqs, temporal_freqs, cfg.num_heads,
                 valid, compute_dtype,
             ),

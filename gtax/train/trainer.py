@@ -107,6 +107,10 @@ class Trainer:
         # models (registry lookup via config; reference hard-codes factories,
         # model/dit.py:379-389 — gtax keeps the same flagship defaults)
         self.dit_cfg = dit_cfg or DiT_MODELS[config.dit_model]()
+        if config.remat and not self.dit_cfg.block_remat:
+            import dataclasses as _dc
+
+            self.dit_cfg = _dc.replace(self.dit_cfg, block_remat=True)
         if dit_params is not None:
             self.dit_params = dit_params
         elif config.pretrained_model:
@@ -209,16 +213,15 @@ class Trainer:
     def _dit_apply(self, params, x, t, actions, valid):
         """DiT forward with params as an explicit (traced) argument — params
         must NEVER be captured as jit closure constants from outside a trace
-        (that embeds ~2.7GB of weights into the HLO and stalls compilation)."""
-        def fn(p, x, t, actions, valid):
-            return dit_apply(
-                p, self.dit_cfg, x, t, actions, valid,
-                compute_dtype=self.compute_dtype,
-            )
-
-        if self.config.remat:
-            fn = jax.checkpoint(fn)
-        return fn(params, x, t, actions, valid)
+        (that embeds ~2.7GB of weights into the HLO and stalls compilation).
+        config.remat maps to PER-BLOCK rematerialisation (DiTConfig
+        .block_remat): the backward stores only block boundaries; a whole-
+        forward jax.checkpoint would still stash every scan iteration's
+        residuals at once and OOM at flagship size."""
+        return dit_apply(
+            params, self.dit_cfg, x, t, actions, valid,
+            compute_dtype=self.compute_dtype,
+        )
 
     def _dit_fn(self, params):
         """Bind params inside an enclosing trace (params already traced)."""

@@ -43,6 +43,9 @@ def main():
     p.add_argument("--mu-bf16", action="store_true",
                    help="store Adam's first moment in bfloat16")
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--backend", default="xla",
+                   help="attention backend; 'fused'/'fused_all' use the "
+                        "trainable Pallas kernels (custom_vjp)")
     p.add_argument("--profile", default=None)
     args = p.parse_args()
 
@@ -51,13 +54,15 @@ def main():
     import optax
 
     from gtax.models.dit import DiTConfig, dit_apply, dit_init
+    from gtax.nn import attention as attention_mod
     from gtax.sampling.diffusion import LossConfig, diffusion_forcing_loss
     from gtax.core import schedules
     from gtax.train.optim import make_optimizer
     from gtax.utils.profiling import MFUCounter, dit_forward_flops, trace
 
+    attention_mod.set_backend(args.backend)
     cfg = DiTConfig(hidden_size=args.hidden, depth=args.depth,
-                    num_heads=args.heads)
+                    num_heads=args.heads, block_remat=args.remat)
     dtype = jnp.dtype(args.dtype)
     B, T = args.batch, cfg.max_frames
 
@@ -77,15 +82,10 @@ def main():
                           n_prompt_frames=4, max_frames=T)
 
     def dit_fn(prm):
-        def fn(x, t, a, valid):
-            inner = lambda p, x, t, a, v: dit_apply(  # noqa: E731
-                p, cfg, x, t, a, v, compute_dtype=dtype
-            )
-            if args.remat:
-                inner = jax.checkpoint(inner)
-            return inner(prm, x, t, a, valid)
-
-        return fn
+        # remat is per-block inside dit_apply (cfg.block_remat)
+        return lambda x, t, a, valid: dit_apply(
+            prm, cfg, x, t, a, valid, compute_dtype=dtype
+        )
 
     def step(params, opt_state, latents, actions, rng):
         def loss_for(prm):
@@ -111,10 +111,11 @@ def main():
     t0 = time.time()
     key = jax.random.PRNGKey(3)
     params, opt_state, loss = jstep(params, opt_state, latents, actions, key)
-    loss.block_until_ready()
+    # fetch, don't block_until_ready: through the device tunnel
+    # block_until_ready returns without waiting (scripts/fwd_bench.py)
+    loss0 = float(loss)
     compile_s = time.time() - t0
-    print(f"compiled+step0 in {compile_s:.0f}s, loss={float(loss):.4f}",
-          flush=True)
+    print(f"compiled+step0 in {compile_s:.0f}s, loss={loss0:.4f}", flush=True)
 
     times = []
     with trace(args.profile):
@@ -123,11 +124,11 @@ def main():
             t0 = time.perf_counter()
             params, opt_state, loss = jstep(params, opt_state, latents,
                                             actions, key)
-            loss.block_until_ready()
+            loss_v = float(loss)
             dt = time.perf_counter() - t0
             if i >= args.warmup:
                 times.append(dt)
-            print(f"step {i}: {dt*1e3:.1f} ms", flush=True)
+            print(f"step {i}: {dt*1e3:.1f} ms  loss={loss_v:.4f}", flush=True)
 
     mean_s = sum(times) / len(times)
     n_gen = T - loss_cfg.n_prompt_frames
@@ -139,6 +140,7 @@ def main():
         "hidden": args.hidden,
         "depth": args.depth,
         "remat": args.remat,
+        "backend": args.backend,
         "mu_bf16": args.mu_bf16,
         "device": jax.devices()[0].device_kind,
         "step_ms": round(mean_s * 1e3, 2),

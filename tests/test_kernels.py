@@ -15,7 +15,7 @@ from tests.conftest import assert_close
 def interpret_mode():
     kattn.set_interpret(True)
     yield
-    kattn.set_interpret(False)
+    kattn.set_interpret(None)  # back to auto (CPU -> interpret)
 
 
 def rand(key, shape):
@@ -134,6 +134,53 @@ def test_fused_mlp_backend_matches_xla(golden, backend):
     finally:
         nnattn.set_backend("xla")
     assert_close(out, ref, atol=5e-4, rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_fused_backend_gradients_match_xla(golden):
+    """The fused backend is TRAINABLE: custom_vjp pairs the Pallas forward
+    with an XLA-autodiff backward (gtax.nn.branches). Parameter gradients
+    must match the pure-XLA path."""
+    import os
+
+    from gtax.io import safetensors_port as port
+    from gtax.models.dit import dit_apply
+    from tests.conftest import GOLDEN
+    from tests.test_models_parity import DIT_SMALL
+
+    path = os.path.join(GOLDEN, "dit_small.safetensors")
+    if not os.path.exists(path):
+        pytest.skip("run scripts/gen_golden.py first")
+    params, _, _ = port.dit_from_torch(port.read_safetensors(path), DIT_SMALL)
+    g = golden("dit_small.npz")
+    x, t = jnp.asarray(g["x"]), jnp.asarray(g["t"])
+    acts = jnp.asarray(g["actions"])
+    valid = jnp.asarray([False, True, True, True, True])
+    target = jnp.asarray(g["v_cond"])
+
+    def loss(p):
+        v = dit_apply(p, DIT_SMALL, x, t, acts, valid,
+                      compute_dtype=jnp.float32)
+        return jnp.mean(jnp.square(v - target))
+
+    nnattn.set_backend("xla")
+    ref_grads = jax.grad(loss)(params)
+    nnattn.set_backend("fused_all")
+    try:
+        out_grads = jax.grad(loss)(params)
+    finally:
+        nnattn.set_backend("xla")
+    flat_r, tree_r = jax.tree_util.tree_flatten(ref_grads)
+    flat_o, tree_o = jax.tree_util.tree_flatten(out_grads)
+    assert tree_r == tree_o
+    for r, o in zip(flat_r, flat_o):
+        scale = max(1e-8, float(jnp.max(jnp.abs(r))))
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                   atol=5e-4 * scale + 1e-7, rtol=5e-3)
+    # rope freq tables must receive ZERO gradient (reference keeps them
+    # frozen: learned_freq=False, rotary_embedding_torch.py:138-144)
+    assert float(jnp.abs(ref_grads["spatial_rope_freqs"]).max()) == 0.0
+    assert float(jnp.abs(ref_grads["temporal_rope_freqs"]).max()) == 0.0
 
 
 @pytest.mark.slow
