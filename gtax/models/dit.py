@@ -69,6 +69,16 @@ class DiTConfig:
     # chip. Rematting the WHOLE forward instead does NOT help: the scan's
     # backward still stashes all 16 blocks' residuals at once.
     block_remat: bool = False
+    # EXPERIMENTAL inference-only path for the fused_all backend: run the
+    # whole block stack as one weight-streaming Pallas pipeline
+    # (gtax/kernels/stack.py; B*T <= 8) or, for larger batches, per-branch
+    # kernels with scalar-prefetch stacked weights. Bit-exact vs the xla
+    # backend (tested), and it eliminates XLA's per-block HBM->HBM weight
+    # slice copies — but as of round 2 it measures SLOWER than the default
+    # per-branch 'fused' path on v5e (attention stages lose ~2x inside the
+    # megakernel; full analysis in docs/PERF.md), so it stays opt-in.
+    # Forward-only: no custom_vjp, the Trainer forces it off.
+    stream_stacked: bool = False
 
     @property
     def grid_h(self) -> int:
@@ -259,6 +269,76 @@ def _block_apply(x, c, bp, spatial_freqs, temporal_freqs, num_heads, valid, dtyp
     return x
 
 
+def _block_apply_stacked(x, c, stacked, idx, spatial_freqs, temporal_freqs,
+                         num_heads, valid, dtype):
+    """One SpatioTemporalDiTBlock with STACKED (depth, ...) weights selected
+    by traced block index `idx` inside the Pallas pipelines (inference-only;
+    see DiTConfig.stream_stacked). adaLN GEMMs consume XLA dynamic slices,
+    which fuse into the GEMM reads — only custom-call operands needed the
+    scalar-prefetch treatment."""
+    from gtax.kernels.block import (
+        fused_mlp_branch_stacked,
+        fused_spatial_branch_stacked,
+        fused_temporal_branch_stacked,
+    )
+
+    B, T, gh, gw, D = x.shape
+    S = gh * gw
+
+    def sliced(prms):
+        return jax.tree.map(lambda a: a[idx], prms)
+
+    def wcast(a):
+        return a.astype(dtype)
+
+    sh1, sc1, g1, sh2, sc2, g2 = adaln(sliced(stacked["s_adaln"]), c, 6, dtype)
+    x = fused_spatial_branch_stacked(
+        x.reshape(B * T, S, D),
+        sh1.reshape(B * T, D),
+        sc1.reshape(B * T, D),
+        g1.reshape(B * T, D),
+        wcast(stacked["s_attn"]["qkv"]["kernel"]),
+        wcast(stacked["s_attn"]["out"]["kernel"]),
+        stacked["s_attn"]["out"]["bias"],
+        spatial_freqs.reshape(S, -1),
+        idx,
+        num_heads,
+    ).reshape(B, T, gh, gw, D)
+
+    def mlp_branch(x, prms, shift, scale, g):
+        return fused_mlp_branch_stacked(
+            x.reshape(B * T, S, D),
+            shift.reshape(B * T, D),
+            scale.reshape(B * T, D),
+            g.reshape(B * T, D),
+            wcast(prms["fc1"]["kernel"]),
+            prms["fc1"]["bias"],
+            wcast(prms["fc2"]["kernel"]),
+            prms["fc2"]["bias"],
+            idx,
+        ).reshape(B, T, gh, gw, D)
+
+    x = mlp_branch(x, stacked["s_mlp"], sh2, sc2, g2)
+
+    th1, tc1, tg1, th2, tc2, tg2 = adaln(sliced(stacked["t_adaln"]), c, 6, dtype)
+    x = fused_temporal_branch_stacked(
+        x.reshape(B * T, S, D),
+        th1.reshape(B * T, D),
+        tc1.reshape(B * T, D),
+        tg1.reshape(B * T, D),
+        wcast(stacked["t_attn"]["qkv"]["kernel"]),
+        wcast(stacked["t_attn"]["out"]["kernel"]),
+        stacked["t_attn"]["out"]["bias"],
+        temporal_freqs,
+        valid,
+        idx,
+        num_heads,
+        T,
+    ).reshape(B, T, gh, gw, D)
+    x = mlp_branch(x, stacked["t_mlp"], th2, tc2, tg2)
+    return x
+
+
 def dit_apply(
     params,
     cfg: DiTConfig,
@@ -302,21 +382,64 @@ def dit_apply(
         jnp.arange(T), jax.lax.stop_gradient(params["temporal_rope_freqs"])
     )
 
-    block = _block_apply
-    if cfg.block_remat:
-        # num_heads (5) and dtype (7) are static python values
-        block = jax.checkpoint(_block_apply, static_argnums=(5, 7))
-
-    def body(carry, bp):
-        return (
-            block(
-                carry, c, bp, spatial_freqs, temporal_freqs, cfg.num_heads,
-                valid, compute_dtype,
-            ),
-            None,
+    use_stacked = (
+        cfg.stream_stacked
+        and attn.get_backend() == "fused_all"
+        and (valid is None or valid.ndim == 1)
+    )
+    rows = B * T * gh * gw
+    if use_stacked and B * T <= 8 and rows <= 1536:
+        # the whole 16-block stack as ONE Pallas pipeline: x stays VMEM-
+        # resident across blocks, per-stage weight DMA overlaps the previous
+        # stage's compute (gtax/kernels/stack.py)
+        from gtax.kernels.stack import (
+            fused_dit_stack,
+            pack_stack_sideband,
+            pack_stack_weights,
         )
 
-    h, _ = jax.lax.scan(body, h, params["blocks"], unroll=cfg.scan_unroll)
+        attn_pack, mlp_pack = pack_stack_weights(params["blocks"],
+                                                 compute_dtype)
+        sideband = pack_stack_sideband(
+            params["blocks"], c.reshape(B * T, cfg.hidden_size),
+            compute_dtype,
+        )
+        h = fused_dit_stack(
+            h.reshape(rows, cfg.hidden_size).astype(compute_dtype),
+            attn_pack, mlp_pack, sideband,
+            spatial_freqs.reshape(gh * gw, -1), temporal_freqs, valid,
+            cfg.depth, cfg.num_heads, B, T,
+        ).reshape(B, T, gh, gw, cfg.hidden_size)
+    elif use_stacked:
+        stacked = params["blocks"]
+
+        def body(carry, idx):
+            return (
+                _block_apply_stacked(
+                    carry, c, stacked, idx, spatial_freqs, temporal_freqs,
+                    cfg.num_heads, valid, compute_dtype,
+                ),
+                None,
+            )
+
+        h, _ = jax.lax.scan(body, h, jnp.arange(cfg.depth, dtype=jnp.int32),
+                            unroll=cfg.scan_unroll)
+    else:
+        block = _block_apply
+        if cfg.block_remat:
+            # num_heads (5) and dtype (7) are static python values
+            block = jax.checkpoint(_block_apply, static_argnums=(5, 7))
+
+        def body(carry, bp):
+            return (
+                block(
+                    carry, c, bp, spatial_freqs, temporal_freqs, cfg.num_heads,
+                    valid, compute_dtype,
+                ),
+                None,
+            )
+
+        h, _ = jax.lax.scan(body, h, params["blocks"], unroll=cfg.scan_unroll)
 
     shift, scale = adaln(params["final"]["adaln"], c, 2, compute_dtype)
     h = modulate(layer_norm(h), shift, scale)

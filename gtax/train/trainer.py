@@ -107,10 +107,15 @@ class Trainer:
         # models (registry lookup via config; reference hard-codes factories,
         # model/dit.py:379-389 — gtax keeps the same flagship defaults)
         self.dit_cfg = dit_cfg or DiT_MODELS[config.dit_model]()
-        if config.remat and not self.dit_cfg.block_remat:
-            import dataclasses as _dc
+        import dataclasses as _dc
 
+        if config.remat and not self.dit_cfg.block_remat:
             self.dit_cfg = _dc.replace(self.dit_cfg, block_remat=True)
+        if self.dit_cfg.stream_stacked:
+            # the stacked-weight scan path is forward-only (no custom_vjp on
+            # the scalar-prefetch kernels) — training must use the trainable
+            # sliced-weight path
+            self.dit_cfg = _dc.replace(self.dit_cfg, stream_stacked=False)
         if dit_params is not None:
             self.dit_params = dit_params
         elif config.pretrained_model:

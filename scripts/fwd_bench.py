@@ -81,7 +81,7 @@ def main():
             "tflops": round(flops / dt / 1e12, 1),
         }
         print(backend, json.dumps(results[backend]), flush=True)
-        if args.profile and backend == "fused":
+        if args.profile:
             with trace(os.path.join(args.profile, backend)):
                 jchain(params, x, t, a).block_until_ready()
     attention_mod.set_backend("xla")

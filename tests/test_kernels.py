@@ -136,6 +136,39 @@ def test_fused_mlp_backend_matches_xla(golden, backend):
     assert_close(out, ref, atol=5e-4, rtol=1e-3)
 
 
+@pytest.mark.parametrize("batch,with_valid", [(1, False), (1, True),
+                                              (2, False)])
+def test_stream_stacked_matches_xla(batch, with_valid):
+    """DiTConfig.stream_stacked (weight-streaming inference paths): B*T <= 8
+    selects the whole-stack megakernel (gtax.kernels.stack), larger batches
+    the scalar-prefetch per-branch kernels. Both must match the xla backend
+    exactly in fp32."""
+    import dataclasses
+
+    from gtax.models.dit import DiTConfig, dit_apply, dit_init
+
+    cfg = DiTConfig(input_h=6, input_w=8, patch_size=2, in_channels=8,
+                    hidden_size=128, depth=3, num_heads=2, max_frames=5,
+                    external_cond_dim=25)
+    params = dit_init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (batch, 5, 8, 6, 8))
+    t = jnp.full((batch, 5), 15, jnp.int32)
+    acts = jax.random.normal(jax.random.PRNGKey(2), (batch, 5, 25))
+    valid = jnp.asarray([False, True, True, True, True]) if with_valid \
+        else None
+
+    nnattn.set_backend("xla")
+    ref = dit_apply(params, cfg, x, t, acts, valid, compute_dtype=jnp.float32)
+    nnattn.set_backend("fused_all")
+    try:
+        scfg = dataclasses.replace(cfg, stream_stacked=True)
+        out = dit_apply(params, scfg, x, t, acts, valid,
+                        compute_dtype=jnp.float32)
+    finally:
+        nnattn.set_backend("xla")
+    assert_close(out, ref, atol=1e-5, rtol=1e-5)
+
+
 @pytest.mark.slow
 def test_fused_backend_gradients_match_xla(golden):
     """The fused backend is TRAINABLE: custom_vjp pairs the Pallas forward
