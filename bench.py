@@ -11,6 +11,8 @@ Env knobs:
   GTAX_BENCH_FRAMES (default 32), GTAX_BENCH_STEPS (default 100),
   GTAX_BENCH_DTYPE (bfloat16), GTAX_BENCH_BACKEND (xla|pallas),
   GTAX_BENCH_REPEATS (default 2 timed runs after 1 warmup),
+  GTAX_BENCH_BATCH (default 1 = the reference workload; >1 = batched-serving
+  throughput mode, reports AGGREGATE frames/sec over all streams),
   GTAX_BENCH_PIPELINE (default 1 = reference-equivalent scheme; >1 enables
   pyramid-pipelined decoding, ~P-fold fewer DiT calls per frame).
 """
@@ -61,6 +63,7 @@ def main():
         return dit_apply(params, dit_cfg, x, t, a, valid, compute_dtype=dtype)
 
     pipeline = int(os.environ.get("GTAX_BENCH_PIPELINE", 1))
+    batch = int(os.environ.get("GTAX_BENCH_BATCH", 1))
     sampler = SamplerConfig(ddim_noise_steps=steps, stabilization_level=15)
     if pipeline > 1:
         from gtax.sampling.diffusion import make_pipelined_rollout
@@ -74,9 +77,9 @@ def main():
     n_prompt = 4
     video = jax.random.uniform(
         jax.random.PRNGKey(1),
-        (1, n_prompt, 3, vae_cfg.input_height, vae_cfg.input_width),
+        (batch, n_prompt, 3, vae_cfg.input_height, vae_cfg.input_width),
     )
-    actions = jnp.asarray(forward_actions(1, frames))
+    actions = jnp.asarray(forward_actions(batch, frames))
     encode = jax.jit(
         lambda vp, v: encode_frames(vp, vae_cfg, v, dtype)
     )
@@ -100,9 +103,11 @@ def main():
         run()
         times.append(time.perf_counter() - t0)
     best = min(times)
-    fps = num_gen / best
+    fps = batch * num_gen / best
 
     pipe_tag = f", pipeline_depth={pipeline}" if pipeline > 1 else ""
+    if batch > 1:
+        pipe_tag += f", batch={batch} streams (aggregate)"
 
     # vs_baseline: ratio to the torch-reference A100 estimate recorded in
     # BASELINE_MEASURED.json (methodology in BASELINE.md: measured torch-CPU
