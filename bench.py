@@ -58,6 +58,12 @@ def main():
         dit_params = jax.jit(
             lambda p: cast_params_for_inference(p, dtype)
         )(dit_params)
+    if os.environ.get("GTAX_BENCH_UNSTACK", "1") == "1":
+        # serving layout: per-block weight pytrees -> the compiled rollout
+        # contains no weight slicing (dit_apply fast path; docs/PERF.md)
+        from gtax.models.dit import unstack_for_inference
+
+        dit_params = unstack_for_inference(dit_params, dit_cfg)
 
     def dit_fn(params, x, t, a, valid):
         return dit_apply(params, dit_cfg, x, t, a, valid, compute_dtype=dtype)

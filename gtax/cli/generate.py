@@ -62,6 +62,9 @@ def build_parser():
     )
     p.add_argument("--benchmark_json", action="store_true",
                    help="print a timing JSON line at the end")
+    p.add_argument("--no_unstack", action="store_true",
+                   help="keep the stacked-weight block scan (shorter compile,"
+                        " ~25%% slower forward)")
     return p
 
 
@@ -80,6 +83,13 @@ def main(argv=None):
         dit_params = jax.jit(
             lambda p: cast_params_for_inference(p, dtype)
         )(dit_params)
+    if not args.no_unstack:
+        # serving layout: per-block weight pytrees eliminate the block scan's
+        # weight slice copies (~25% faster forward; docs/PERF.md) at the cost
+        # of a longer first compile
+        from gtax.models.dit import unstack_for_inference
+
+        dit_params = unstack_for_inference(dit_params, dit_cfg)
 
     total_frames = args.total_frames
     n_prompt = 4 if args.start_frame is None else 1

@@ -387,6 +387,23 @@ def dit_apply(
         and attn.get_backend() == "fused_all"
         and (valid is None or valid.ndim == 1)
     )
+    if isinstance(params["blocks"], (list, tuple)):
+        # INFERENCE fast path: blocks pre-unstacked into per-block pytrees
+        # (unstack_for_inference). A Python loop over separate weight arrays
+        # contains NO weight slicing in the compiled program — the lax.scan
+        # over stacked weights dynamic-slices every Pallas operand into an
+        # HBM->HBM copy (~1.2 ms/forward at flagship size), which neither
+        # scan-unroll nor scalar prefetch recovers (docs/PERF.md). Measured
+        # 5.56 ms vs 7.4 ms per forward (fused_all, v5e). Compile time is
+        # ~16x the scan body; amortised over a serving session.
+        for bp in params["blocks"]:
+            h = _block_apply(
+                h, c, bp, spatial_freqs, temporal_freqs, cfg.num_heads,
+                valid, compute_dtype,
+            )
+        h = _dit_head(params, cfg, h, c, B, T, gh, gw, compute_dtype)
+        return h
+
     rows = B * T * gh * gw
     if use_stacked and B * T <= 8 and rows <= 1536:
         # the whole 16-block stack as ONE Pallas pipeline: x stays VMEM-
@@ -441,6 +458,12 @@ def dit_apply(
 
         h, _ = jax.lax.scan(body, h, params["blocks"], unroll=cfg.scan_unroll)
 
+    return _dit_head(params, cfg, h, c, B, T, gh, gw, compute_dtype)
+
+
+def _dit_head(params, cfg, h, c, B, T, gh, gw, compute_dtype):
+    """FinalLayer + unpatchify (reference model/dit.py:126-145, 328-341)."""
+    C = cfg.in_channels
     shift, scale = adaln(params["final"]["adaln"], c, 2, compute_dtype)
     h = modulate(layer_norm(h), shift, scale)
     h = linear(params["final"]["linear"], h, compute_dtype)
@@ -450,6 +473,22 @@ def dit_apply(
     h = h.reshape(B, T, gh, gw, p, p, C)
     h = h.transpose(0, 1, 6, 2, 4, 3, 5)  # (B,T,C,gh,p,gw,p)
     return h.reshape(B, T, C, gh * p, gw * p).astype(jnp.float32)
+
+
+def unstack_for_inference(params, cfg: DiTConfig):
+    """Convert the stacked `blocks` pytree into a tuple of per-block pytrees.
+
+    For serving: dit_apply then runs a Python loop over separate weight
+    arrays, eliminating the scan's per-block weight slice copies (see the
+    fast-path comment in dit_apply). Do this OUTSIDE any jit, once, after
+    cast_params_for_inference. Training code must keep the stacked layout
+    (the trainable custom_vjp path and optax updates expect it)."""
+    out = dict(params)
+    out["blocks"] = tuple(
+        jax.tree.map(lambda a, i=i: a[i], params["blocks"])
+        for i in range(cfg.depth)
+    )
+    return out
 
 
 def cast_params_for_inference(params, dtype=jnp.bfloat16):

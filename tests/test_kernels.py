@@ -136,6 +136,34 @@ def test_fused_mlp_backend_matches_xla(golden, backend):
     assert_close(out, ref, atol=5e-4, rtol=1e-3)
 
 
+def test_unstacked_inference_matches_scan():
+    """unstack_for_inference (per-block pytrees + Python loop — the serving
+    layout, ~25% faster on v5e) must be numerically identical to the stacked
+    scan, per backend."""
+    from gtax.models.dit import (DiTConfig, dit_apply, dit_init,
+                                 unstack_for_inference)
+
+    cfg = DiTConfig(input_h=6, input_w=8, patch_size=2, in_channels=8,
+                    hidden_size=128, depth=3, num_heads=2, max_frames=5,
+                    external_cond_dim=25)
+    params = dit_init(jax.random.PRNGKey(0), cfg)
+    uparams = unstack_for_inference(params, cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 5, 8, 6, 8))
+    t = jnp.full((2, 5), 15, jnp.int32)
+    acts = jax.random.normal(jax.random.PRNGKey(2), (2, 5, 25))
+    valid = jnp.asarray([False, True, True, True, True])
+    for backend in ("xla", "fused_all"):
+        nnattn.set_backend(backend)
+        try:
+            ref = dit_apply(params, cfg, x, t, acts, valid,
+                            compute_dtype=jnp.float32)
+            out = dit_apply(uparams, cfg, x, t, acts, valid,
+                            compute_dtype=jnp.float32)
+        finally:
+            nnattn.set_backend("xla")
+        assert_close(out, ref, atol=1e-5, rtol=1e-5, name=backend)
+
+
 @pytest.mark.parametrize("batch,with_valid", [(1, False), (1, True),
                                               (2, False)])
 def test_stream_stacked_matches_xla(batch, with_valid):
