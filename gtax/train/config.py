@@ -52,6 +52,7 @@ class TrainingConfig:
     mesh_model: int = 1                  # >1 enables tensor parallelism
     attention_backend: str = "xla"       # xla | pallas | fused (inference)
     remat: bool = False                  # jax.checkpoint the DiT blocks
+    mu_bf16: bool = False                # Adam first moment in bfloat16
     profile_dir: Optional[str] = None    # jax.profiler trace output
 
     @classmethod

@@ -166,6 +166,7 @@ class Trainer:
             config.learning_rate, config.min_learning_rate, warmup,
             self.total_training_steps, weight_decay=config.weight_decay,
             max_grad_norm=config.max_grad_norm,
+            mu_dtype=jnp.bfloat16 if config.mu_bf16 else None,
         )
         self.opt_state = self.tx.init(self.dit_params)
 
