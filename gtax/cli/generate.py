@@ -26,7 +26,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gtax.core.constants import FRAME_HEIGHT, FRAME_WIDTH
 from gtax.data.actions import forward_actions
 from gtax.io import safetensors_port as port
 from gtax.io.video import read_image, write_video
@@ -51,7 +50,8 @@ def build_parser():
     p.add_argument("--dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--attention_backend", type=str, default="fused",
-                   choices=["xla", "pallas", "fused"],
+                   choices=["xla", "pallas", "fused", "fused_mlp",
+                            "fused_all"],
                    help="fused = whole-branch Pallas megakernels (numerically "
                         "equivalent to xla, ~2.2x faster forward on v5e)")
     p.add_argument("--seed", type=int, default=None)
@@ -65,6 +65,13 @@ def build_parser():
     p.add_argument("--no_unstack", action="store_true",
                    help="keep the stacked-weight block scan (shorter compile,"
                         " ~25%% slower forward)")
+    p.add_argument("--dit_model", type=str, default="DiT-S/2",
+                   help="model preset (gtax.models.dit.DiT_MODELS); "
+                        "'DiT-debug' + empty --dit_model_path gives a "
+                        "checkpoint-free smoke path on any hardware")
+    p.add_argument("--vae_model", type=str,
+                   default="vit-l-20-shallow-encoder",
+                   help="VAE preset (gtax.models.vae.VAE_MODELS)")
     return p
 
 
@@ -73,10 +80,22 @@ def main(argv=None):
     attention_mod.set_backend(args.attention_backend)
     dtype = jnp.dtype(args.dtype)
 
-    dit_cfg = DiT_MODELS["DiT-S/2"]()
-    vae_cfg = VAE_MODELS["vit-l-20-shallow-encoder"]()
-    dit_params = port.load_dit(args.dit_model_path, dit_cfg)
-    vae_params = port.load_vae(args.vae_model_path, vae_cfg)
+    dit_cfg = DiT_MODELS[args.dit_model]()
+    vae_cfg = VAE_MODELS[args.vae_model]()
+    if args.dit_model_path:
+        dit_params = port.load_dit(args.dit_model_path, dit_cfg)
+    else:  # checkpoint-free smoke path (random weights)
+        from gtax.models.dit import dit_init
+
+        dit_params = jax.jit(lambda k: dit_init(k, dit_cfg))(
+            jax.random.PRNGKey(0))
+    if args.vae_model_path:
+        vae_params = port.load_vae(args.vae_model_path, vae_cfg)
+    else:
+        from gtax.models.vae import vae_init
+
+        vae_params = jax.jit(lambda k: vae_init(k, vae_cfg))(
+            jax.random.PRNGKey(1))
     if dtype != jnp.float32:
         from gtax.models.dit import cast_params_for_inference
 
@@ -104,7 +123,8 @@ def main(argv=None):
           f"window {dit_cfg.max_frames}; actions={args.use_actions}")
 
     if args.start_frame is not None:
-        frame = read_image(args.start_frame, (FRAME_HEIGHT, FRAME_WIDTH))
+        frame = read_image(
+            args.start_frame, (vae_cfg.input_height, vae_cfg.input_width))
         video = frame[None, None]  # (1, 1, 3, H, W)
         actions = (
             jnp.asarray(forward_actions(1, total_frames))

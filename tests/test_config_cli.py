@@ -68,6 +68,33 @@ def test_cosine_min_lr_schedule_matches_hf():
         np.testing.assert_allclose(got, want, rtol=1e-5, err_msg=f"step {step}")
 
 
+def test_generate_cli_e2e_debug(tmp_path):
+    """Checkpoint-free generate CLI smoke: DiT-debug + vae-debug presets,
+    random weights, start-frame + actions path (the path the reference
+    crashes on — SURVEY.md quirk 3), real mp4 written."""
+    import numpy as np
+    from PIL import Image
+
+    from gtax.cli.generate import main
+
+    start = tmp_path / "start.png"
+    Image.fromarray(
+        np.random.randint(0, 255, (48, 64, 3), np.uint8)
+    ).save(start)
+    out = tmp_path / "vid.mp4"
+    pixels = main([
+        "--total-frames", "6", "--noise_steps", "3",
+        "--dit_model", "DiT-debug", "--vae_model", "vae-debug",
+        "--dit_model_path", "", "--vae_model_path", "",
+        "--use_actions", "--start_frame", str(start),
+        "--output_path", str(out), "--dtype", "float32",
+        "--attention_backend", "xla", "--seed", "0",
+    ])
+    assert out.exists() and out.stat().st_size > 0
+    assert pixels.shape[0] == 6 and sorted(pixels.shape[1:]) == [3, 48, 64]
+    assert np.isfinite(pixels).all()
+
+
 def test_generate_cli_flag_parity():
     """The generate CLI exposes the reference's flags (generate.py:71-120)."""
     from gtax.cli.generate import build_parser
