@@ -129,7 +129,9 @@ def main():
             measured = json.load(f)
         baseline_fps = measured.get("torch_a100_est_fps", {}).get("high")
         if baseline_fps:
-            vs_baseline = round(fps / baseline_fps, 2)
+            # aggregate fps over `batch` streams must compare against the
+            # baseline running the same `batch` independent jobs
+            vs_baseline = round(fps / (baseline_fps * batch), 2)
 
     result = {
         "metric": (

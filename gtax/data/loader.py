@@ -80,15 +80,29 @@ class DataLoader:
         self.epoch = 0  # bumped after each full __iter__ over a map-style ds
 
     def __len__(self):
+        """Per-rank batches per epoch. Matches _sample_iter exactly: the
+        permutation is padded so every rank sees ceil(n/world) samples."""
         n = len(self.dataset)
-        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+        per_rank = -(-n // self.world)
+        return (per_rank // self.batch_size if self.drop_last
+                else -(-per_rank // self.batch_size))
+
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the next __iter__'s shuffle epoch (torch
+        DistributedSampler.set_epoch). The trainer calls this on resume so
+        the replayed epoch uses the SAME permutation the interrupted run
+        used — otherwise skip_batches would skip a prefix of a permutation
+        that was never trained on."""
+        self.epoch = int(epoch)
 
     def _sample_iter(self) -> Iterator[dict]:
         """One pass over the dataset per call (torch-DataLoader epoch
         semantics, reference train_dit.py:920-934). Map-style datasets
         reshuffle each epoch with a per-epoch seed; with world > 1 each rank
-        takes a disjoint stride of the SAME permutation (torch
-        DistributedSampler semantics — the reference gets this from
+        takes a disjoint stride of the SAME permutation, PADDED by wrapping
+        so all ranks yield the same count (torch DistributedSampler
+        semantics — unequal per-rank counts would deadlock the collective
+        train step; the reference gets this from
         accelerator.prepare(dataloader), train_dit.py:854).
         Resampled/iterable streams (webdataset) yield whatever the stream
         yields — possibly infinite; they shard internally."""
@@ -99,6 +113,10 @@ class DataLoader:
             rng = np.random.default_rng(self.seed + self.epoch)
             order = rng.permutation(n) if self.shuffle else np.arange(n)
             self.epoch += 1
+            if self.world > 1:
+                total = -(-n // self.world) * self.world
+                if total > n:  # pad by wrapping (DistributedSampler)
+                    order = np.concatenate([order, order[: total - n]])
             for i in order[self.rank::self.world]:
                 yield self.dataset[int(i)]
 

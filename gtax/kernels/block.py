@@ -211,6 +211,35 @@ def _temporal_kernel(x_ref, shift_ref, scale_ref, gate_ref, qkvw_ref,
     o_ref[:] = (x32 + g * y).astype(o_ref.dtype)
 
 
+def temporal_preamble(rope_freqs, valid, B, S, T, num_heads, d, dtype):
+    """Shared inputs for every fused temporal-attention variant: per-row rope
+    cos/sin tables tiled over tokens and heads, the block-diagonal
+    rotate-half permutation Rf, the head-indicator segment matrix seg, and
+    the additive causal+validity bias (always-open diagonal for padded
+    queries). PARITY-CRITICAL mask math — one implementation serves the
+    trainable, scalar-prefetch, and whole-stack kernels so the three paths
+    can never drift."""
+    cos_t = jnp.cos(rope_freqs.astype(jnp.float32))  # (T, d)
+    sin_t = jnp.sin(rope_freqs.astype(jnp.float32))
+    cos = jnp.tile(jnp.repeat(cos_t, S, axis=0), (B, num_heads))  # (B*T*S, D)
+    sin = jnp.tile(jnp.repeat(sin_t, S, axis=0), (B, num_heads))
+    R = rotate_half_matrix(d)
+    Rf = jnp.asarray(np.kron(np.eye(num_heads, dtype=np.float32), R))
+    seg = jnp.asarray(
+        np.kron(np.eye(num_heads, dtype=np.float32),
+                np.ones((d, 1), np.float32))
+    ).astype(dtype)  # (D, h)
+
+    causal = np.tril(np.ones((T, T), dtype=bool))
+    if valid is not None:
+        key_ok = jnp.logical_or(valid[None, :], jnp.eye(T, dtype=bool))
+        allow = jnp.logical_and(jnp.asarray(causal), key_ok)
+    else:
+        allow = jnp.asarray(causal)
+    bias = jnp.where(allow, 0.0, -1e30).astype(jnp.float32)
+    return cos, sin, Rf, seg, bias
+
+
 @functools.partial(jax.jit, static_argnames=("num_heads", "n_frames"))
 def fused_temporal_branch(x, shift, scale, gate, qkv_w, out_w, out_b,
                           rope_freqs, valid, num_heads, n_frames):
@@ -221,25 +250,9 @@ def fused_temporal_branch(x, shift, scale, gate, qkv_w, out_w, out_b,
     T = n_frames
     B = N // T
     d = D // num_heads
-    # per-frame rope angles tiled over tokens and heads
-    cos_t = jnp.cos(rope_freqs.astype(jnp.float32))  # (T, d)
-    sin_t = jnp.sin(rope_freqs.astype(jnp.float32))
-    cos = jnp.tile(jnp.repeat(cos_t, S, axis=0), (B, num_heads))  # (N*S, D)
-    sin = jnp.tile(jnp.repeat(sin_t, S, axis=0), (B, num_heads))
-    R = rotate_half_matrix(d)
-    Rf = jnp.asarray(np.kron(np.eye(num_heads, dtype=np.float32), R))
-    seg = jnp.asarray(
-        np.kron(np.eye(num_heads, dtype=np.float32),
-                np.ones((d, 1), np.float32))
-    ).astype(x.dtype)  # (D, h)
-
-    causal = np.tril(np.ones((T, T), dtype=bool))
-    if valid is not None:
-        key_ok = jnp.logical_or(valid[None, :], jnp.eye(T, dtype=bool))
-        allow = jnp.logical_and(jnp.asarray(causal), key_ok)
-    else:
-        allow = jnp.asarray(causal)
-    bias = jnp.where(allow, 0.0, -1e30).astype(jnp.float32)
+    cos, sin, Rf, seg, bias = temporal_preamble(
+        rope_freqs, valid, B, S, T, num_heads, d, x.dtype
+    )
 
     xf = x.reshape(N * S, D)
     expand = lambda vv: jnp.repeat(vv, S, axis=0)  # noqa: E731
@@ -526,24 +539,9 @@ def fused_temporal_branch_stacked(x, shift, scale, gate, qkv_w, out_w, out_b,
     T = n_frames
     B = N // T
     d = D // num_heads
-    cos_t = jnp.cos(rope_freqs.astype(jnp.float32))
-    sin_t = jnp.sin(rope_freqs.astype(jnp.float32))
-    cos = jnp.tile(jnp.repeat(cos_t, S, axis=0), (B, num_heads))
-    sin = jnp.tile(jnp.repeat(sin_t, S, axis=0), (B, num_heads))
-    R = rotate_half_matrix(d)
-    Rf = jnp.asarray(np.kron(np.eye(num_heads, dtype=np.float32), R))
-    seg = jnp.asarray(
-        np.kron(np.eye(num_heads, dtype=np.float32),
-                np.ones((d, 1), np.float32))
-    ).astype(x.dtype)
-
-    causal = np.tril(np.ones((T, T), dtype=bool))
-    if valid is not None:
-        key_ok = jnp.logical_or(valid[None, :], jnp.eye(T, dtype=bool))
-        allow = jnp.logical_and(jnp.asarray(causal), key_ok)
-    else:
-        allow = jnp.asarray(causal)
-    bias = jnp.where(allow, 0.0, -1e30).astype(jnp.float32)
+    cos, sin, Rf, seg, bias = temporal_preamble(
+        rope_freqs, valid, B, S, T, num_heads, d, x.dtype
+    )
 
     xf = x.reshape(N * S, D)
     expand = lambda vv: jnp.repeat(vv, S, axis=0)  # noqa: E731

@@ -46,7 +46,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from gtax.kernels.attention import interpret_mode
-from gtax.kernels.block import rotate_half_matrix
+from gtax.kernels.block import rotate_half_matrix, temporal_preamble
 
 _STACK_PARAMS = pltpu.CompilerParams(
     dimension_semantics=("arbitrary", "arbitrary"),
@@ -346,24 +346,9 @@ def fused_dit_stack(x, attn_pack, mlp_pack, sideband, spatial_freqs,
     spsin = jnp.tile(jnp.sin(spatial_freqs.astype(jnp.float32)), (B * T, 1))
     spR = jnp.asarray(rotate_half_matrix(d))
 
-    cos_t = jnp.cos(temporal_freqs.astype(jnp.float32))  # (T, d)
-    sin_t = jnp.sin(temporal_freqs.astype(jnp.float32))
-    tcos = jnp.tile(jnp.repeat(cos_t, S, axis=0), (B, num_heads))
-    tsin = jnp.tile(jnp.repeat(sin_t, S, axis=0), (B, num_heads))
-    R = rotate_half_matrix(d)
-    tRf = jnp.asarray(np.kron(np.eye(num_heads, dtype=np.float32), R))
-    tseg = jnp.asarray(
-        np.kron(np.eye(num_heads, dtype=np.float32),
-                np.ones((d, 1), np.float32))
-    ).astype(dt)
-
-    causal = np.tril(np.ones((T, T), dtype=bool))
-    if valid is not None:
-        key_ok = jnp.logical_or(valid[None, :], jnp.eye(T, dtype=bool))
-        allow = jnp.logical_and(jnp.asarray(causal), key_ok)
-    else:
-        allow = jnp.asarray(causal)
-    tbias = jnp.where(allow, 0.0, -1e30).astype(jnp.float32)
+    tcos, tsin, tRf, tseg, tbias = temporal_preamble(
+        temporal_freqs, valid, B, S, T, num_heads, d, dt
+    )
 
     def full(a):
         nd = a.ndim
@@ -384,8 +369,8 @@ def fused_dit_stack(x, attn_pack, mlp_pack, sideband, spatial_freqs,
                          memory_space=pltpu.VMEM),
             # weight packs stay in HBM; the kernel streams each (block,
             # stage) slice with explicit async copies one stage ahead
-            pl.BlockSpec(memory_space=pltpu.ANY),   # attn_pack
-            pl.BlockSpec(memory_space=pltpu.ANY),   # mlp_pack
+            pl.BlockSpec(memory_space=pl.ANY),      # attn_pack
+            pl.BlockSpec(memory_space=pl.ANY),      # mlp_pack
             full(spcos), full(spsin), full(spR),
             full(tcos), full(tsin), full(tRf), full(tseg),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # tbias (T, T)

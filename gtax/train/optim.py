@@ -41,6 +41,26 @@ def cosine_min_lr_schedule(
     return schedule
 
 
+_FROZEN_KEYS = {"spatial_rope_freqs", "temporal_rope_freqs"}
+
+
+def _decay_mask(params):
+    """False for the rope frequency tables: the reference keeps them frozen
+    (RotaryEmbedding learned_freq=False — rotary_embedding_torch.py:138-144),
+    so the torch optimizer never sees them. Their gradients are already
+    stop_gradient-zeroed (gtax/models/dit.py), but AdamW's decoupled weight
+    decay applies wd*p regardless of gradient — unmasked it would shrink the
+    tables toward zero every step and drift positions away from the shipped
+    checkpoints."""
+    import jax
+
+    def mask(path, _leaf):
+        keys = {str(getattr(p, "key", p)) for p in path}
+        return not (keys & _FROZEN_KEYS)
+
+    return jax.tree_util.tree_map_with_path(mask, params)
+
+
 def make_optimizer(
     learning_rate: float,
     min_learning_rate: float,
@@ -62,6 +82,7 @@ def make_optimizer(
     tx = optax.chain(
         optax.clip_by_global_norm(max_grad_norm),
         optax.adamw(schedule, b1=b1, b2=b2, eps=eps,
-                    weight_decay=weight_decay, mu_dtype=mu_dtype),
+                    weight_decay=weight_decay, mu_dtype=mu_dtype,
+                    mask=_decay_mask),
     )
     return tx, schedule

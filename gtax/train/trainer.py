@@ -315,6 +315,10 @@ class Trainer:
             self.run_validation(val_loader)
 
         step_in_epoch_skip = self.skip_batches if hasattr(self, "skip_batches") else 0
+        if hasattr(train_loader, "set_epoch"):
+            # replayed epoch must reshuffle with the SAME per-epoch seed the
+            # interrupted run used, or skip_batches skips the wrong samples
+            train_loader.set_epoch(self.start_epoch)
         for epoch in range(self.start_epoch, cfg.num_epochs):
             for batch in self.iter_device_batches(train_loader):
                 if cfg.max_steps > 0 and self.global_step >= cfg.max_steps:
@@ -381,6 +385,17 @@ class Trainer:
         metrics["learning_rate"] = float(self.lr_schedule(self.global_step))
         return metrics
 
+    def _eval_key(self, tag: int):
+        """STATELESS eval key: evals must never advance self.rng — they run
+        inside per-rank try/except (and their batch counts can differ per
+        rank), so splitting the training stream there would silently
+        desynchronise the replicated RNG across processes. Derived from
+        (seed, global_step, tag) instead."""
+        base = jax.random.fold_in(
+            jax.random.PRNGKey(self.config.seed ^ 0x5EED), self.global_step
+        )
+        return jax.random.fold_in(base, tag)
+
     def run_validation(self, val_loader, max_batches: int = 50):
         """Validation loss + rollout + renoise evals
         (reference train_dit.py:711-744, 371-464, 466-552)."""
@@ -393,7 +408,7 @@ class Trainer:
                 first_batch = batch
             if i >= max_batches:
                 break
-            self.rng, key = jax.random.split(self.rng)
+            key = self._eval_key(i)
             losses.append(
                 float(
                     self._eval_step(
@@ -449,7 +464,7 @@ class Trainer:
                 self._dit_apply, self.max_frames, self.sampler_cfg
             )
         rollout = self._rollout_cache["rollout"]
-        self.rng, rkey = jax.random.split(self.rng)
+        rkey = self._eval_key(101)
         lat = rollout(self.dit_params, latents, actions, rkey,
                       num_gen_frames=num_frames - latents.shape[1])
         pix = decode_frames(self.vae_params, self.vae_cfg, lat,
@@ -479,7 +494,7 @@ class Trainer:
             self.vae_params, self.vae_cfg, video, self.compute_dtype
         )
         abar, noise_range = self.sampler_cfg.tables()
-        self.rng, key = jax.random.split(self.rng)
+        key = self._eval_key(102)
         if "renoise" not in self._rollout_cache:
             self._rollout_cache["renoise"] = jax.jit(
                 lambda p, lat, a, k: renoise_last_frame(

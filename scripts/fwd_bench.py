@@ -22,6 +22,8 @@ def main():
     p.add_argument("--repeats", type=int, default=20)
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--profile", default=None)
+    p.add_argument("--unstack", action="store_true",
+                   help="per-block weight pytrees (the serving layout)")
     p.add_argument("--backends", default="xla,pallas,fused,fused_mlp,fused_all")
     args = p.parse_args()
 
@@ -38,6 +40,10 @@ def main():
     params = jax.jit(lambda k: dit_init(k, cfg))(jax.random.PRNGKey(0))
     if dtype != jnp.float32:
         params = jax.jit(lambda p: cast_params_for_inference(p, dtype))(params)
+    if args.unstack:
+        from gtax.models.dit import unstack_for_inference
+
+        params = unstack_for_inference(params, cfg)
 
     B = args.batch
     x = jax.random.normal(jax.random.PRNGKey(1), (B, 5, 16, 18, 32))

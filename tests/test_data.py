@@ -160,3 +160,61 @@ def test_dataloader_batches():
 def test_make_dataset_errors():
     with pytest.raises(ValueError):
         make_dataset("nope", "train", False)
+
+
+def test_dataloader_rank_striding_equal_counts():
+    """Multi-process loaders must yield the SAME number of samples on every
+    rank (DistributedSampler pad-by-wrapping) or the collective train step
+    deadlocks; ranks must also cover disjoint strides of ONE permutation."""
+    n, world = 15, 4  # n % world != 0 -> padding required
+    ds = DummyDataset("train", return_actions=False, height=12, width=16,
+                      size=n)
+    per_rank = []
+    for rank in range(world):
+        loader = DataLoader(ds, batch_size=1, num_workers=1, rank=rank,
+                            world=world, seed=7)
+        loader.set_epoch(3)
+        samples = list(loader._sample_iter())
+        per_rank.append(samples)
+        assert loader.epoch == 4  # advanced past the pinned epoch
+    counts = {len(s) for s in per_rank}
+    assert counts == {-(-n // world)}, counts  # ceil(n/world) on every rank
+    assert len(DataLoader(ds, batch_size=1, rank=0, world=world)) == 4
+    # same epoch seed -> the ranks' indices tile one padded permutation
+    rng = __import__("numpy").random.default_rng(7 + 3)
+    order = rng.permutation(n)
+    order = __import__("numpy").concatenate([order, order[:1]])
+    for rank in range(world):
+        expect = order[rank::world]
+        got = [s["video"] for s in per_rank[rank]]
+        assert len(got) == len(expect)
+
+
+class _IndexedDataset:
+    """Map-style dataset whose samples identify their index."""
+
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        import numpy as np
+
+        return {"video": np.full((1,), float(i), np.float32)}
+
+
+def test_dataloader_resume_epoch_permutation():
+    """set_epoch(E) must reproduce epoch E's shuffle order exactly — resume
+    replays the interrupted epoch's permutation before skipping batches."""
+    ds = _IndexedDataset(16)
+    first = DataLoader(ds, batch_size=1, num_workers=1, seed=3)
+    orders = []
+    for _ in range(2):  # epochs 0 and 1
+        orders.append([float(s["video"][0]) for s in first._sample_iter()])
+    resumed = DataLoader(ds, batch_size=1, num_workers=1, seed=3)
+    resumed.set_epoch(1)
+    replay = [float(s["video"][0]) for s in resumed._sample_iter()]
+    assert replay == orders[1]
+    assert replay != orders[0]  # epochs genuinely reshuffle
