@@ -70,7 +70,9 @@ def main():
 
     pipeline = int(os.environ.get("GTAX_BENCH_PIPELINE", 1))
     batch = int(os.environ.get("GTAX_BENCH_BATCH", 1))
-    sampler = SamplerConfig(ddim_noise_steps=steps, stabilization_level=15)
+    broadcast = int(os.environ.get("GTAX_BENCH_BROADCAST", 1))
+    sampler = SamplerConfig(ddim_noise_steps=steps, stabilization_level=15,
+                            attn_broadcast=broadcast)
     if pipeline > 1:
         from gtax.sampling.diffusion import make_pipelined_rollout
 
@@ -78,7 +80,12 @@ def main():
             dit_fn, dit_cfg.max_frames, sampler, pipeline_depth=pipeline
         )
     else:
-        rollout = make_rollout(dit_fn, dit_cfg.max_frames, sampler)
+        pab = None
+        if broadcast > 1:
+            from gtax.models.dit import make_pab_fns
+
+            pab = make_pab_fns(dit_cfg, dtype)
+        rollout = make_rollout(dit_fn, dit_cfg.max_frames, sampler, pab=pab)
 
     n_prompt = 4
     video = jax.random.uniform(
@@ -112,6 +119,8 @@ def main():
     fps = batch * num_gen / best
 
     pipe_tag = f", pipeline_depth={pipeline}" if pipeline > 1 else ""
+    if broadcast > 1:
+        pipe_tag += f", attn_broadcast={broadcast}"
     if batch > 1:
         pipe_tag += f", batch={batch} streams (aggregate)"
 

@@ -60,6 +60,12 @@ def build_parser():
         help="frames denoised concurrently at staggered noise levels; 1 = "
              "reference-equivalent scheme, 4 = ~3.5x fewer DiT calls",
     )
+    p.add_argument(
+        "--attn_broadcast", type=int, default=1,
+        help="recompute attention every K-th denoise step, reuse cached "
+             "residual deltas in between (Pyramid Attention Broadcast); "
+             "1 = exact reference scheme",
+    )
     p.add_argument("--benchmark_json", action="store_true",
                    help="print a timing JSON line at the end")
     p.add_argument("--no_unstack", action="store_true",
@@ -116,6 +122,7 @@ def main(argv=None):
         ddim_noise_steps=args.noise_steps,
         stabilization_level=15,          # reference generate.py:138
         schedule_clamp_min=1e-4,         # reference uses the default here
+        attn_broadcast=args.attn_broadcast,
     )
     print(f"We will generate {total_frames} frames, starting with "
           f"{n_prompt} frames.")
@@ -164,7 +171,12 @@ def main(argv=None):
             pipeline_depth=args.pipeline_depth,
         )
     else:
-        rollout = make_rollout(dit_fn, dit_cfg.max_frames, sampler)
+        pab = None
+        if args.attn_broadcast > 1:
+            from gtax.models.dit import make_pab_fns
+
+            pab = make_pab_fns(dit_cfg, dtype)
+        rollout = make_rollout(dit_fn, dit_cfg.max_frames, sampler, pab=pab)
 
     t0 = time.perf_counter()
     lat = rollout(dit_params, latents, actions, rng,

@@ -179,11 +179,23 @@ def _block_init(key, D, H4, H6):
     }
 
 
-def _block_apply(x, c, bp, spatial_freqs, temporal_freqs, num_heads, valid, dtype):
-    """One SpatioTemporalDiTBlock (reference model/dit.py:200-225)."""
+def _block_apply(x, c, bp, spatial_freqs, temporal_freqs, num_heads, valid,
+                 dtype, attn_cache=None, collect=False):
+    """One SpatioTemporalDiTBlock (reference model/dit.py:200-225).
+
+    Attention-broadcast support (Pyramid Attention Broadcast,
+    arxiv 2408.12588 — attention outputs change slowly across adjacent
+    denoise steps): with collect=True the block also returns the two
+    attention branches' GATED RESIDUAL DELTAS (x_after - x_before); with
+    attn_cache=(delta_s, delta_t) the attention branches are SKIPPED and the
+    cached deltas are added instead (MLP branches always recompute). Caching
+    the post-gate delta works identically under every attention backend."""
     sh1, sc1, g1, sh2, sc2, g2 = adaln(bp["s_adaln"], c, 6, dtype)
     dtype_name = jnp.dtype(dtype).name
-    if attn.get_backend() in ("fused", "fused_all"):
+    x_pre_s = x
+    if attn_cache is not None:
+        x = x + attn_cache[0].astype(x.dtype)
+    elif attn.get_backend() in ("fused", "fused_all"):
         # whole spatial attention branch as one VMEM-resident Pallas kernel;
         # the trainable wrapper adds an XLA-autodiff backward (custom_vjp) so
         # the fused backend is legal under value_and_grad
@@ -232,10 +244,14 @@ def _block_apply(x, c, bp, spatial_freqs, temporal_freqs, num_heads, valid, dtyp
             g,
         )
 
+    delta_s = (x - x_pre_s).astype(dtype) if collect else None
     x = mlp_branch(x, bp["s_mlp"], sh2, sc2, g2)
 
     th1, tc1, tg1, th2, tc2, tg2 = adaln(bp["t_adaln"], c, 6, dtype)
-    if attn.get_backend() in ("fused", "fused_all") and (
+    x_pre_t = x
+    if attn_cache is not None:
+        x = x + attn_cache[1].astype(x.dtype)
+    elif attn.get_backend() in ("fused", "fused_all") and (
             valid is None or valid.ndim == 1
     ):
         from gtax.nn.branches import trainable_temporal_branch
@@ -265,7 +281,10 @@ def _block_apply(x, c, bp, spatial_freqs, temporal_freqs, num_heads, valid, dtyp
             ),
             tg1,
         )
+    delta_t = (x - x_pre_t).astype(dtype) if collect else None
     x = mlp_branch(x, bp["t_mlp"], th2, tc2, tg2)
+    if collect:
+        return x, (delta_s, delta_t)
     return x
 
 
@@ -347,6 +366,8 @@ def dit_apply(
     external_cond=None,
     valid=None,
     compute_dtype=jnp.bfloat16,
+    attn_cache=None,
+    collect_cache=False,
 ):
     """DiT forward pass (reference model/dit.py:343-376).
 
@@ -354,6 +375,11 @@ def dit_apply(
     external_cond: optional (B, T, action_dim) one-hot actions;
     valid: optional (T,) or (B, T) bool mask of real (non-padding) frames.
     Returns v-prediction of x's shape, float32.
+
+    Attention broadcast (inference acceleration, see _block_apply):
+    collect_cache=True additionally returns the per-block attention residual
+    deltas; attn_cache=<that pytree> skips all attention branches and reuses
+    the deltas. Not combinable with stream_stacked or block_remat.
     """
     B, T, C, H, W = x.shape
     gh, gw = cfg.grid_h, cfg.grid_w
@@ -387,6 +413,7 @@ def dit_apply(
         and attn.get_backend() == "fused_all"
         and (valid is None or valid.ndim == 1)
     )
+    use_cache = attn_cache is not None or collect_cache
     if isinstance(params["blocks"], (list, tuple)):
         # INFERENCE fast path: blocks pre-unstacked into per-block pytrees
         # (unstack_for_inference). A Python loop over separate weight arrays
@@ -396,11 +423,53 @@ def dit_apply(
         # scan-unroll nor scalar prefetch recovers (docs/PERF.md). Measured
         # 5.56 ms vs 7.4 ms per forward (fused_all, v5e). Compile time is
         # ~16x the scan body; amortised over a serving session.
-        for bp in params["blocks"]:
-            h = _block_apply(
+        deltas = []
+        for i, bp in enumerate(params["blocks"]):
+            out = _block_apply(
                 h, c, bp, spatial_freqs, temporal_freqs, cfg.num_heads,
                 valid, compute_dtype,
+                attn_cache=None if attn_cache is None else attn_cache[i],
+                collect=collect_cache,
             )
+            if collect_cache:
+                h, d = out
+                deltas.append(d)
+            else:
+                h = out
+        h = _dit_head(params, cfg, h, c, B, T, gh, gw, compute_dtype)
+        return (h, tuple(deltas)) if collect_cache else h
+
+    if use_cache:
+        # stacked layout: cache is a pair of stacked (L, ...) delta arrays
+        # threaded through the block scan as xs / collected as ys
+        assert not cfg.block_remat, "attention broadcast is inference-only"
+        stacked = params["blocks"]
+        if collect_cache:
+            def body(carry, bp):
+                xo, d = _block_apply(
+                    carry, c, bp, spatial_freqs, temporal_freqs,
+                    cfg.num_heads, valid, compute_dtype, collect=True,
+                )
+                return xo, d
+
+            h, cache = jax.lax.scan(body, h, stacked,
+                                    unroll=cfg.scan_unroll)
+            h = _dit_head(params, cfg, h, c, B, T, gh, gw, compute_dtype)
+            return h, cache
+
+        def body(carry, inp):
+            bp, ds, dt_ = inp
+            return (
+                _block_apply(
+                    carry, c, bp, spatial_freqs, temporal_freqs,
+                    cfg.num_heads, valid, compute_dtype,
+                    attn_cache=(ds, dt_),
+                ),
+                None,
+            )
+
+        h, _ = jax.lax.scan(body, h, (stacked, *attn_cache),
+                            unroll=cfg.scan_unroll)
         h = _dit_head(params, cfg, h, c, B, T, gh, gw, compute_dtype)
         return h
 
@@ -473,6 +542,36 @@ def _dit_head(params, cfg, h, c, B, T, gh, gw, compute_dtype):
     h = h.reshape(B, T, gh, gw, p, p, C)
     h = h.transpose(0, 1, 6, 2, 4, 3, 5)  # (B,T,C,gh,p,gw,p)
     return h.reshape(B, T, C, gh * p, gw * p).astype(jnp.float32)
+
+
+def init_attn_cache(params, cfg: DiTConfig, B: int, T: int,
+                    dtype=jnp.bfloat16):
+    """Zero attention-broadcast cache matching dit_apply's collect_cache
+    output pytree for the given block layout (stacked vs unstacked)."""
+    shape = (B, T, cfg.grid_h, cfg.grid_w, cfg.hidden_size)
+    z = jnp.zeros(shape, dtype)
+    if isinstance(params["blocks"], (list, tuple)):
+        return tuple((z, z) for _ in range(cfg.depth))
+    zs = jnp.zeros((cfg.depth,) + shape, dtype)
+    return (zs, zs)
+
+
+def make_pab_fns(cfg: DiTConfig, compute_dtype=jnp.bfloat16):
+    """(collect_fn, reuse_fn, init_cache_fn) for
+    gtax.sampling.diffusion.make_rollout(pab=...) — attention broadcast."""
+
+    def collect(params, x, t, a, valid):
+        return dit_apply(params, cfg, x, t, a, valid,
+                         compute_dtype=compute_dtype, collect_cache=True)
+
+    def reuse(params, x, t, a, valid, cache):
+        return dit_apply(params, cfg, x, t, a, valid,
+                         compute_dtype=compute_dtype, attn_cache=cache)
+
+    def init_cache(params, B, T):
+        return init_attn_cache(params, cfg, B, T, compute_dtype)
+
+    return collect, reuse, init_cache
 
 
 def unstack_for_inference(params, cfg: DiTConfig):

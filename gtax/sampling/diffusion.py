@@ -36,6 +36,13 @@ class SamplerConfig:
     noise_abs_max: float = NOISE_ABS_MAX
     max_noise_level: int = MAX_NOISE_LEVEL
     schedule_clamp_min: float = 1e-4  # generate.py default; trainer uses 1e-6
+    # attention broadcast (Pyramid Attention Broadcast, arxiv 2408.12588):
+    # recompute the DiT's attention branches every K-th denoise step and
+    # reuse their cached residual deltas in between (attention outputs drift
+    # slowly across adjacent steps). 1 = off (exact reference scheme); the
+    # final noise_idx<=0 step always recomputes. Takes effect when the
+    # rollout is built with pab fns (make_rollout, gtax.models.dit).
+    attn_broadcast: int = 1
 
     def tables(self):
         betas = schedules.sigmoid_beta_schedule(
@@ -62,6 +69,7 @@ def denoise_step(
     stabilization_level,
     noise_range,
     alphas_cumprod,
+    aux_call=False,
 ):
     """One DDIM-style v-prediction update of the window's last frame.
 
@@ -78,7 +86,11 @@ def denoise_step(
     t = jnp.concatenate([t_ctx, jnp.full((B, 1), curr, jnp.int32)], axis=1)
     t_next = jnp.concatenate([t_ctx, jnp.full((B, 1), nxt, jnp.int32)], axis=1)
 
-    v = dit_fn(x, t, actions, valid).astype(jnp.float32)
+    if aux_call:  # dit_fn returns (v, aux); aux rides along (PAB cache)
+        v, aux = dit_fn(x, t, actions, valid)
+    else:
+        v, aux = dit_fn(x, t, actions, valid), None
+    v = v.astype(jnp.float32)
 
     x32 = x.astype(jnp.float32)
     alpha = _expand(alphas_cumprod[t])
@@ -91,16 +103,60 @@ def denoise_step(
     )
     x_pred = jnp.sqrt(alpha_next) * x_start + jnp.sqrt(1.0 - alpha_next) * x_noise
     x_out = jnp.where(noise_idx <= 0, x_start, x_pred)
+    if aux_call:
+        return x_out, v, aux
     return x_out, v
 
 
 def denoise_window(
-    dit_fn, x, actions, valid, cfg: SamplerConfig, alphas_cumprod, noise_range
+    dit_fn, x, actions, valid, cfg: SamplerConfig, alphas_cumprod,
+    noise_range, cached=None,
 ):
     """Run the full reversed noise-step scan on one window; returns
     (window with its last frame fully denoised, v-prediction of the final
     noise_idx==0 step) (reference generate.py:206-220; the final v feeds the
-    debug grid in predict_noise, train_dit.py:535-550)."""
+    debug grid in predict_noise, train_dit.py:535-550).
+
+    cached: optional (collect_fn, reuse_fn, cache0) triple enabling
+    attention broadcast (SamplerConfig.attn_broadcast). collect_fn(x, t, a,
+    valid) -> (v, cache); reuse_fn(x, t, a, valid, cache) -> v."""
+    if cached is not None and cfg.attn_broadcast > 1:
+        collect_fn, reuse_fn, cache0 = cached
+        K = cfg.attn_broadcast
+        steps = cfg.ddim_noise_steps
+
+        def body(carry, k_iter):
+            x_win, _, cache = carry
+            noise_idx = steps - k_iter
+
+            def fresh(x_win, cache):
+                return denoise_step(
+                    collect_fn, x_win, actions, valid, noise_idx,
+                    cfg.stabilization_level, noise_range, alphas_cumprod,
+                    aux_call=True,
+                )
+
+            def stale(x_win, cache):
+                def call(xx, tt, aa, vv):
+                    return reuse_fn(xx, tt, aa, vv, cache), cache
+
+                return denoise_step(
+                    call, x_win, actions, valid, noise_idx,
+                    cfg.stabilization_level, noise_range, alphas_cumprod,
+                    aux_call=True,
+                )
+
+            recompute = jnp.logical_or(k_iter % K == 0, noise_idx <= 0)
+            x_pred, v, cache = jax.lax.cond(recompute, fresh, stale,
+                                            x_win, cache)
+            x_win = jnp.concatenate([x_win[:, :-1], x_pred[:, -1:]], axis=1)
+            return (x_win, v, cache), None
+
+        v0 = jnp.zeros_like(x)
+        (x, v_last, _), _ = jax.lax.scan(
+            body, (x, v0, cache0), jnp.arange(cfg.ddim_noise_steps + 1)
+        )
+        return x, v_last
 
     def body(carry, noise_idx):
         x_win, _ = carry
@@ -117,7 +173,7 @@ def denoise_window(
     return x, v_last
 
 
-def make_rollout(dit_fn, max_frames: int, cfg: SamplerConfig):
+def make_rollout(dit_fn, max_frames: int, cfg: SamplerConfig, pab=None):
     """Build a jittable autoregressive rollout.
 
     dit_fn(params, x, t, actions, valid) -> v. Params are threaded through as
@@ -133,6 +189,12 @@ def make_rollout(dit_fn, max_frames: int, cfg: SamplerConfig):
 
     The reference equivalent is the frame loop at generate.py:200-235; here it
     is a lax.scan whose carry is the (max_frames-1)-slot context buffer.
+
+    pab: optional (collect_fn, reuse_fn, init_cache_fn) triple enabling
+    attention broadcast when cfg.attn_broadcast > 1 —
+    collect_fn(params, x, t, a, valid) -> (v, cache);
+    reuse_fn(params, x, t, a, valid, cache) -> v;
+    init_cache_fn(params, B, T) -> zero cache pytree.
     """
     abar, noise_range = cfg.tables()
     W = max_frames
@@ -182,8 +244,18 @@ def make_rollout(dit_fn, max_frames: int, cfg: SamplerConfig):
                 )
             else:
                 awin = None
+            if pab is not None and cfg.attn_broadcast > 1:
+                collect_fn, reuse_fn, init_cache_fn = pab
+                cached = (
+                    lambda x, t, a, v: collect_fn(params, x, t, a, v),
+                    lambda x, t, a, v, cc: reuse_fn(params, x, t, a, v, cc),
+                    init_cache_fn(params, B, W),
+                )
+            else:
+                cached = None
             window, _ = denoise_window(
-                bound_dit, window, awin, valid, cfg, abar, noise_range
+                bound_dit, window, awin, valid, cfg, abar, noise_range,
+                cached=cached,
             )
             new_frame = window[:, -1]
             ctx_buf = jnp.concatenate([ctx_buf[:, 1:], window[:, -1:]], axis=1)

@@ -161,3 +161,41 @@ def test_diffusion_forcing_loss_runs(dit_fn):
     assert np.isfinite(float(mean_loss))
     # 3 generated frames: mean * 3 == sum
     assert_close(sum_loss, mean_loss * 3.0, atol=1e-5)
+
+
+def test_attention_broadcast_rollout(dit_small_params):
+    """Attention broadcast (SamplerConfig.attn_broadcast): K=1 with pab fns
+    is bit-identical to the exact scheme; K>1 runs, stays finite, and
+    actually diverges (proving attention really is skipped) while staying
+    close to the exact rollout. The golden torch checkpoint has non-trivial
+    adaLN gates, so cached deltas are non-zero."""
+    import dataclasses
+
+    from gtax.models.dit import make_pab_fns
+
+    prompt = jnp.asarray(
+        np.random.default_rng(0).normal(size=(1, 4, 16, 18, 32)) * 0.1,
+        jnp.float32,
+    )
+    acts = jnp.zeros((1, 10, 25), jnp.float32)
+    sam = sd.SamplerConfig(ddim_noise_steps=6, stabilization_level=15)
+    exact = sd.make_rollout(dit_fn_p, 5, sam)(
+        dit_small_params, prompt, acts, jax.random.PRNGKey(3),
+        num_gen_frames=4,
+    )
+    pab = make_pab_fns(DIT_SMALL, jnp.float32)
+    k1 = sd.make_rollout(
+        dit_fn_p, 5, dataclasses.replace(sam, attn_broadcast=1), pab=pab
+    )(dit_small_params, prompt, acts, jax.random.PRNGKey(3),
+      num_gen_frames=4)
+    np.testing.assert_array_equal(np.asarray(k1), np.asarray(exact))
+
+    k2 = sd.make_rollout(
+        dit_fn_p, 5, dataclasses.replace(sam, attn_broadcast=2), pab=pab
+    )(dit_small_params, prompt, acts, jax.random.PRNGKey(3),
+      num_gen_frames=4)
+    diff = float(jnp.abs(k2 - exact).max())
+    scale = float(jnp.abs(exact).max())
+    assert np.isfinite(np.asarray(k2)).all()
+    assert diff > 0.0, "broadcast produced identical output — cache unused?"
+    assert diff < 0.25 * scale, f"broadcast drift too large: {diff} vs {scale}"
