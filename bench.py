@@ -14,7 +14,10 @@ Env knobs:
   GTAX_BENCH_BATCH (default 1 = the reference workload; >1 = batched-serving
   throughput mode, reports AGGREGATE frames/sec over all streams),
   GTAX_BENCH_PIPELINE (default 1 = reference-equivalent scheme; >1 enables
-  pyramid-pipelined decoding, ~P-fold fewer DiT calls per frame).
+  pyramid-pipelined decoding, ~P-fold fewer DiT calls per frame),
+  GTAX_BENCH_BROADCAST (default 1 = exact; K>1 recomputes attention every
+  K-th denoise step — Pyramid Attention Broadcast, docs/PERF.md),
+  GTAX_BENCH_UNSTACK (default 1 = per-block serving weight layout).
 """
 
 from __future__ import annotations

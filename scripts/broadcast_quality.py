@@ -102,7 +102,7 @@ def main(steps=1200, total_frames=12):
     pab = make_pab_fns(DIT, jnp.float32)
 
     videos, report = {}, {}
-    for K in (1, 2, 4):
+    for K in (1, 2, 3, 4):
         sampler = dataclasses.replace(base_sampler, attn_broadcast=K)
         roll = make_rollout(dit_fn_p, 5, sampler,
                             pab=pab if K > 1 else None)
@@ -123,7 +123,7 @@ def main(steps=1200, total_frames=12):
             ))), 4),
         }
 
-    for K in (2, 4):
+    for K in (2, 3, 4):
         scores = per_frame_psnr(videos[K][4:], videos[1][4:])
         report[str(K)]["psnr_vs_exact_min"] = round(min(scores), 2)
         report[str(K)]["psnr_vs_exact_mean"] = round(
