@@ -76,18 +76,19 @@ def main():
     broadcast = int(os.environ.get("GTAX_BENCH_BROADCAST", 1))
     sampler = SamplerConfig(ddim_noise_steps=steps, stabilization_level=15,
                             attn_broadcast=broadcast)
+    pab = None
+    if broadcast > 1:
+        from gtax.models.dit import make_pab_fns
+
+        pab = make_pab_fns(dit_cfg, dtype)
     if pipeline > 1:
         from gtax.sampling.diffusion import make_pipelined_rollout
 
         rollout = make_pipelined_rollout(
-            dit_fn, dit_cfg.max_frames, sampler, pipeline_depth=pipeline
+            dit_fn, dit_cfg.max_frames, sampler, pipeline_depth=pipeline,
+            pab=pab,
         )
     else:
-        pab = None
-        if broadcast > 1:
-            from gtax.models.dit import make_pab_fns
-
-            pab = make_pab_fns(dit_cfg, dtype)
         rollout = make_rollout(dit_fn, dit_cfg.max_frames, sampler, pab=pab)
 
     n_prompt = 4

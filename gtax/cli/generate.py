@@ -163,19 +163,19 @@ def main(argv=None):
     encode = jax.jit(lambda vp, v: encode_frames(vp, vae_cfg, v, dtype))
     decode = jax.jit(lambda vp, lat: decode_frames(vp, vae_cfg, lat, dtype))
     latents = encode(vae_params, jnp.asarray(video))
+    pab = None
+    if args.attn_broadcast > 1:
+        from gtax.models.dit import make_pab_fns
+
+        pab = make_pab_fns(dit_cfg, dtype)
     if args.pipeline_depth > 1:
         from gtax.sampling.diffusion import make_pipelined_rollout
 
         rollout = make_pipelined_rollout(
             dit_fn, dit_cfg.max_frames, sampler,
-            pipeline_depth=args.pipeline_depth,
+            pipeline_depth=args.pipeline_depth, pab=pab,
         )
     else:
-        pab = None
-        if args.attn_broadcast > 1:
-            from gtax.models.dit import make_pab_fns
-
-            pab = make_pab_fns(dit_cfg, dtype)
         rollout = make_rollout(dit_fn, dit_cfg.max_frames, sampler, pab=pab)
 
     t0 = time.perf_counter()

@@ -307,7 +307,7 @@ def renoise_last_frame(
 
 
 def make_pipelined_rollout(dit_fn, max_frames: int, cfg: SamplerConfig,
-                           pipeline_depth: int = 4):
+                           pipeline_depth: int = 4, pab=None):
     """Pyramid-pipelined autoregressive rollout: up to `pipeline_depth` frames
     are in flight simultaneously at staggered noise levels, so each DiT call
     advances P frames by one DDIM step instead of one — ~P times fewer model
@@ -323,6 +323,13 @@ def make_pipelined_rollout(dit_fn, max_frames: int, cfg: SamplerConfig,
     context cleanliness for speed:
       P=1  == the reference scheme (4 clean context frames);
       P=4  == 1 clean + 4 in-flight (fastest).
+
+    pab: optional (collect_fn, reuse_fn, init_cache_fn) enabling attention
+    broadcast (cfg.attn_broadcast > 1) WITHIN each cycle: the window's frame
+    identities are fixed for a cycle's `stride` inner DiT calls, so cached
+    attention deltas stay aligned; the cache resets every cycle and the
+    first and last inner calls always recompute. Composes multiplicatively
+    with pipelining.
 
     Returns rollout(params, prompt_latents, actions, rng, num_gen_frames).
     """
@@ -397,7 +404,11 @@ def make_pipelined_rollout(dit_fn, max_frames: int, cfg: SamplerConfig,
                 awin = None
             valid = jnp.concatenate([ctx_valid, active])
 
-            def call(inflight2, p):
+            use_pab = pab is not None and cfg.attn_broadcast > 1
+
+            def call(carry2, p_k):
+                inflight2, cache = carry2
+                p, k_iter = p_k
                 idxs = jnp.clip(slot_ids * stride + p, 0, steps)
                 t_infl = noise_range[idxs]  # (P,)
                 t = jnp.concatenate(
@@ -411,7 +422,27 @@ def make_pipelined_rollout(dit_fn, max_frames: int, cfg: SamplerConfig,
                     axis=1,
                 )
                 window = jnp.concatenate([ctx, inflight2], axis=1)
-                v = bound_dit(window, t, awin, valid).astype(jnp.float32)
+                if use_pab:
+                    collect_fn, reuse_fn, _ = pab
+
+                    def fresh(window, t, cache):
+                        return collect_fn(params, window, t, awin, valid)
+
+                    def stale(window, t, cache):
+                        return (
+                            reuse_fn(params, window, t, awin, valid, cache),
+                            cache,
+                        )
+
+                    recompute = jnp.logical_or(
+                        k_iter % cfg.attn_broadcast == 0,
+                        k_iter == stride - 1,
+                    )
+                    v, cache = jax.lax.cond(recompute, fresh, stale,
+                                            window, t, cache)
+                    v = v.astype(jnp.float32)
+                else:
+                    v = bound_dit(window, t, awin, valid).astype(jnp.float32)
                 v_infl = v[:, n_ctx_slots:]
                 a_t = abar[t_infl][None, :, None, None, None]
                 x = inflight2.astype(jnp.float32)
@@ -423,10 +454,14 @@ def make_pipelined_rollout(dit_fn, max_frames: int, cfg: SamplerConfig,
                 a_n = abar[noise_range[idx_next]][None, :, None, None, None]
                 x_pred = jnp.sqrt(a_n) * x_start + jnp.sqrt(1 - a_n) * x_noise
                 final = (idxs <= 0)[None, :, None, None, None]
-                return jnp.where(final, x_start, x_pred), None
+                return (jnp.where(final, x_start, x_pred), cache), None
 
-            inflight, _ = jax.lax.scan(
-                call, inflight, jnp.arange(stride - 1, -1, -1)
+            cache0 = (
+                pab[2](params, B, W) if use_pab else jnp.zeros((), jnp.float32)
+            )
+            (inflight, _), _ = jax.lax.scan(
+                call, (inflight, cache0),
+                (jnp.arange(stride - 1, -1, -1), jnp.arange(stride)),
             )
             emitted = inflight[:, 0]
             # emitted frames only become context once real (post warm-up)

@@ -76,3 +76,45 @@ def test_pipeline_call_count(dit_small_params):
     # depth1: 4 cycles x 9 calls = 36; depth4: 7 cycles x ceil(9/4)=3 -> 21
     assert depth1 == 4 * 9, depth1
     assert depth4 == (4 + 3) * 3, depth4
+
+
+def test_pipelined_with_broadcast(dit_small_params):
+    """Combined pipelining + attention broadcast. With stride=2 (steps=3,
+    depth=2) every inner call recomputes (k=0 hits k%K==0, k=1 is the last
+    call), so the pab path must be bit-identical to the plain pipelined
+    rollout; with a longer stride real reuse happens and the output must
+    stay finite and prompt-preserving."""
+    import dataclasses
+
+    from gtax.models.dit import make_pab_fns
+    from tests.test_models_parity import DIT_SMALL
+
+    B, C, H, W = 1, 16, 18, 32
+    prompt = jax.random.normal(jax.random.PRNGKey(3), (B, 4, C, H, W))
+    actions = jax.random.normal(jax.random.PRNGKey(4), (B, 12, 25))
+    pab = make_pab_fns(DIT_SMALL, jnp.float32)
+
+    # steps=3, depth=2 -> stride = ceil(4/2) = 2: all inner calls recompute
+    cfg = sd.SamplerConfig(ddim_noise_steps=3, stabilization_level=15,
+                           attn_broadcast=2)
+    plain = sd.make_pipelined_rollout(
+        dit_fn_p, 5, dataclasses.replace(cfg, attn_broadcast=1),
+        pipeline_depth=2,
+    )(dit_small_params, prompt, actions, jax.random.PRNGKey(0),
+      num_gen_frames=8)
+    combo = sd.make_pipelined_rollout(dit_fn_p, 5, cfg, pipeline_depth=2,
+                                      pab=pab)(
+        dit_small_params, prompt, actions, jax.random.PRNGKey(0),
+        num_gen_frames=8)
+    assert_close(combo, plain, atol=1e-5, rtol=1e-5)
+
+    # steps=8, depth=2 -> stride 5: k=1,3 reuse the cache for real
+    cfg2 = sd.SamplerConfig(ddim_noise_steps=8, stabilization_level=15,
+                            attn_broadcast=2)
+    out = sd.make_pipelined_rollout(dit_fn_p, 5, cfg2, pipeline_depth=2,
+                                    pab=pab)(
+        dit_small_params, prompt, actions, jax.random.PRNGKey(0),
+        num_gen_frames=8)
+    assert out.shape == (B, 12, C, H, W)
+    assert bool(jnp.all(jnp.isfinite(out)))
+    np.testing.assert_array_equal(np.asarray(out[:, :4]), np.asarray(prompt))
