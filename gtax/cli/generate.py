@@ -68,6 +68,10 @@ def build_parser():
     )
     p.add_argument("--benchmark_json", action="store_true",
                    help="print a timing JSON line at the end")
+    p.add_argument("--quantize", choices=["none", "int8"], default="none",
+                   help="int8 = W8A8 serving quantization of the DiT block "
+                        "GEMMs (2x MXU rate on v5e, ~lossless PSNR; "
+                        "docs/PERF.md)")
     p.add_argument("--no_unstack", action="store_true",
                    help="keep the stacked-weight block scan (shorter compile,"
                         " ~25%% slower forward)")
@@ -115,6 +119,12 @@ def main(argv=None):
         from gtax.models.dit import unstack_for_inference
 
         dit_params = unstack_for_inference(dit_params, dit_cfg)
+    if args.quantize == "int8":
+        # W8A8 serving: int8 block GEMMs on the MXU (2x bf16 rate on v5e);
+        # quality-gated in docs/quant_quality.json
+        from gtax.models.dit import quantize_for_inference
+
+        dit_params = quantize_for_inference(dit_params, dit_cfg)
 
     total_frames = args.total_frames
     n_prompt = 4 if args.start_frame is None else 1

@@ -1,0 +1,343 @@
+"""W8A8 (int8 weights x int8 activations) variants of the fused DiT branch
+kernels — inference-only serving acceleration.
+
+Why int8: at B=1 serving shapes the DiT forward is COMPUTE-bound on the MXU
+(docs/PERF.md: the token GEMMs run at ~96% of bf16 peak), and the v5e MXU
+runs int8 at 2x the bf16 rate (measured on this chip: 422 vs 173 TFLOP/s
+for a 768x1024x4096 GEMM). Weight streaming also halves.
+
+Scheme (standard dynamic per-token W8A8, cf. LLM.int8/SmoothQuant lineage):
+  - weights: symmetric per-OUTPUT-channel int8, scales precomputed once by
+    gtax.models.dit.quantize_for_inference;
+  - activations: symmetric per-ROW (per-token) int8, quantized dynamically
+    INSIDE the kernel from the fp32 LN/modulate output — the quantize step
+    is VPU work that is tiny next to the MXU savings;
+  - GEMMs accumulate int32 on the MXU, then rescale to fp32 with
+    (row_scale x col_scale) before bias/rope/softmax — so everything outside
+    the GEMMs (LN statistics, rope, softmax, gated residuals) is bit-identical
+    to the bf16 kernels' fp32 math.
+
+The attention score/PV dots stay bf16: they are a small fraction of branch
+FLOPs and are accuracy-sensitive.
+
+Branch semantics parity target: SpatioTemporalDiTBlock
+(/root/reference/model/dit.py:200-225); the quantization is an approximation
+of it, quality-gated by tests/test_quant.py and scripts/quant_quality.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gtax.kernels.attention import interpret_mode
+from gtax.kernels.block import (
+    _BRANCH_PARAMS,
+    _frames_per_tile,
+    rotate_half_matrix,
+    temporal_preamble,
+)
+
+
+def quantize_weight(w):
+    """Symmetric per-output-channel int8: w ~= q * s with s: (..., 1, dout).
+    Works on single (din, dout) kernels and stacked (L, din, dout) arrays."""
+    w32 = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(w32), axis=-2, keepdims=True)
+    s = jnp.maximum(amax, 1e-12) / 127.0
+    q = jnp.round(w32 / s).astype(jnp.int8)
+    return q, s
+
+
+def _quant_rows(a32):
+    """Dynamic symmetric per-row int8 of an fp32 activation block.
+    Returns (q int8, s fp32 (rows, 1)) with a ~= q * s."""
+    amax = jnp.max(jnp.abs(a32), axis=-1, keepdims=True)
+    s = jnp.maximum(amax, 1e-12) * (1.0 / 127.0)
+    q = jnp.round(a32 * (1.0 / s)).astype(jnp.int8)
+    return q, s
+
+
+def _qdot(a32, wq_ref, ws_ref):
+    """fp32 activations -> dynamic int8 -> MXU int8 GEMM -> fp32 rescale."""
+    q, sa = _quant_rows(a32)
+    acc = jax.lax.dot_general(
+        q, wq_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return acc.astype(jnp.float32) * sa * ws_ref[:]
+
+
+def _ln_modulate32(x_ref, shift_ref, scale_ref, ln_eps, mod_eps):
+    """LayerNorm(no affine) + adaLN modulate, fp32 (same math as the bf16
+    kernels, minus their final bf16 cast — the quantizer consumes fp32)."""
+    x32 = x_ref[:].astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    ln = (x32 - mean) * jax.lax.rsqrt(var + ln_eps)
+    scale = scale_ref[:].astype(jnp.float32)
+    shift = shift_ref[:].astype(jnp.float32)
+    return x32, ln * (1.0 + scale + mod_eps) + shift
+
+
+def _spatial_kernel_q(x_ref, shift_ref, scale_ref, gate_ref, qkvq_ref,
+                      qkvs_ref, outq_ref, outs_ref, outb_ref, cos_ref,
+                      sin_ref, rot_ref, o_ref, *, num_heads, n_frames,
+                      seq_len, ln_eps, mod_eps):
+    """W8A8 twin of gtax.kernels.block._kernel (see there for the layout
+    story); only the qkv and out GEMMs change."""
+    x = x_ref[:]
+    NS, D = x.shape
+    S = seq_len
+    d = D // num_heads
+
+    x32, mod = _ln_modulate32(x_ref, shift_ref, scale_ref, ln_eps, mod_eps)
+    qkv = _qdot(mod, qkvq_ref, qkvs_ref)  # (NS, 3D) fp32
+    q, k, v = qkv[:, :D], qkv[:, D:2 * D], qkv[:, 2 * D:]
+
+    cos = cos_ref[:]
+    sin = sin_ref[:]
+    R = rot_ref[:]
+
+    scale_attn = 1.0 / (d**0.5)
+    head_outs = []
+    for h in range(num_heads):
+        sl = slice(h * d, (h + 1) * d)
+        qs32, ks32 = q[:, sl], k[:, sl]
+        qs = (qs32 * cos + jnp.dot(
+            qs32, R, preferred_element_type=jnp.float32) * sin).astype(x.dtype)
+        ks = (ks32 * cos + jnp.dot(
+            ks32, R, preferred_element_type=jnp.float32) * sin).astype(x.dtype)
+        vs = v[:, sl].astype(x.dtype)
+        frame_outs = []
+        for n in range(n_frames):
+            fr = slice(n * S, (n + 1) * S)
+            scores = jax.lax.dot_general(
+                qs[fr], ks[fr], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale_attn
+            m = jnp.max(scores, axis=-1, keepdims=True)
+            e = jnp.exp(scores - m)
+            probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
+            frame_outs.append(
+                jnp.dot(probs, vs[fr], preferred_element_type=jnp.float32)
+            )
+        head_outs.append(jnp.concatenate(frame_outs, axis=0))
+    attn_out = jnp.concatenate(head_outs, axis=-1)  # fp32
+
+    y = _qdot(attn_out, outq_ref, outs_ref)
+    y = y + outb_ref[0].astype(jnp.float32)
+
+    g = gate_ref[:].astype(jnp.float32)
+    o_ref[:] = (x32 + g * y).astype(o_ref.dtype)
+
+
+def _temporal_kernel_q(x_ref, shift_ref, scale_ref, gate_ref, qkvq_ref,
+                       qkvs_ref, outq_ref, outs_ref, outb_ref, cos_ref,
+                       sin_ref, rotf_ref, seg_ref, bias_ref, o_ref, *,
+                       num_heads, n_frames, n_batches, seq_len, ln_eps,
+                       mod_eps):
+    """W8A8 twin of gtax.kernels.block._temporal_kernel."""
+    x = x_ref[:]
+    NS, D = x.shape
+    S = seq_len
+    T = n_frames
+
+    x32, mod = _ln_modulate32(x_ref, shift_ref, scale_ref, ln_eps, mod_eps)
+    qkv = _qdot(mod, qkvq_ref, qkvs_ref)
+    q, k, v = qkv[:, :D], qkv[:, D:2 * D], qkv[:, 2 * D:]
+
+    cos, sin, Rf = cos_ref[:], sin_ref[:], rotf_ref[:]
+    q = q * cos + jnp.dot(q, Rf, preferred_element_type=jnp.float32) * sin
+    k = k * cos + jnp.dot(k, Rf, preferred_element_type=jnp.float32) * sin
+    q = q.astype(x.dtype)
+    k = k.astype(x.dtype)
+    v = v.astype(x.dtype)
+
+    seg = seg_ref[:]
+    d = D // num_heads
+    scale_attn = 1.0 / (d**0.5)
+
+    out_rows = []
+    for b in range(n_batches):
+        base = b * T * S
+
+        def frame(t, arr):
+            return arr[base + t * S: base + (t + 1) * S]
+
+        scores = [[None] * T for _ in range(T)]
+        for i in range(T):
+            qi = frame(i, q)
+            for j in range(i + 1):
+                kj = frame(j, k)
+                scores[i][j] = jnp.dot(
+                    (qi * kj).astype(x.dtype), seg,
+                    preferred_element_type=jnp.float32,
+                ) * scale_attn + bias_ref[i, j]
+
+        for i in range(T):
+            row = [scores[i][j] for j in range(i + 1)]
+            m = row[0]
+            for s_ij in row[1:]:
+                m = jnp.maximum(m, s_ij)
+            exps = [jnp.exp(s_ij - m) for s_ij in row]
+            denom = exps[0]
+            for e in exps[1:]:
+                denom = denom + e
+            acc = None
+            for j, e in enumerate(exps):
+                probs = (e / denom).astype(x.dtype)
+                pexp = jnp.dot(
+                    probs, seg_ref[:].T, preferred_element_type=jnp.float32
+                ).astype(x.dtype)
+                term = pexp * frame(j, v)
+                acc = term if acc is None else acc + term
+            out_rows.append(acc)
+    attn_out = jnp.concatenate(out_rows, axis=0).astype(jnp.float32)
+
+    y = _qdot(attn_out, outq_ref, outs_ref)
+    y = y + outb_ref[0].astype(jnp.float32)
+    g = gate_ref[:].astype(jnp.float32)
+    o_ref[:] = (x32 + g * y).astype(o_ref.dtype)
+
+
+def _mlp_kernel_q(x_ref, shift_ref, scale_ref, gate_ref, w1q_ref, w1s_ref,
+                  b1_ref, w2q_ref, w2s_ref, b2_ref, o_ref, *, ln_eps,
+                  mod_eps, approx_gelu):
+    """W8A8 twin of gtax.kernels.block._mlp_kernel: both MLP GEMMs int8; the
+    hidden activation re-quantizes per row after the fp32 GELU."""
+    x32, mod = _ln_modulate32(x_ref, shift_ref, scale_ref, ln_eps, mod_eps)
+
+    h = _qdot(mod, w1q_ref, w1s_ref) + b1_ref[0].astype(jnp.float32)
+    h = jax.nn.gelu(h, approximate=approx_gelu)
+    y = _qdot(h, w2q_ref, w2s_ref) + b2_ref[0].astype(jnp.float32)
+
+    g = gate_ref[:].astype(jnp.float32)
+    o_ref[:] = (x32 + g * y).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads",))
+def fused_spatial_branch_q(x, shift, scale, gate, qkv_q, qkv_s, out_q, out_s,
+                           out_b, rope_freqs, num_heads):
+    """int8 twin of gtax.kernels.block.fused_spatial_branch; qkv_q/out_q are
+    int8 kernels with per-column scales qkv_s (1, 3D) / out_s (1, D)."""
+    N, S, D = x.shape
+    d = D // num_heads
+    fpt = _frames_per_tile(N, S)
+    n_tiles = N // fpt
+    tile_rows = fpt * S
+    cos = jnp.tile(jnp.cos(rope_freqs.astype(jnp.float32)), (N, 1))
+    sin = jnp.tile(jnp.sin(rope_freqs.astype(jnp.float32)), (N, 1))
+    R = jnp.asarray(rotate_half_matrix(d))
+    out_b = out_b.reshape(1, -1)
+    xf = x.reshape(N * S, D)
+    expand = lambda v: jnp.repeat(v, S, axis=0)  # noqa: E731
+    shift, scale, gate = expand(shift), expand(scale), expand(gate)
+    row_spec = pl.BlockSpec((tile_rows, D), lambda c: (c, 0),
+                            memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    rot = rope_freqs.shape[-1]
+    out = pl.pallas_call(
+        functools.partial(
+            _spatial_kernel_q, num_heads=num_heads, n_frames=fpt, seq_len=S,
+            ln_eps=1e-6, mod_eps=1e-6,
+        ),
+        out_shape=jax.ShapeDtypeStruct(xf.shape, x.dtype),
+        grid=(n_tiles,),
+        in_specs=[
+            row_spec, row_spec, row_spec, row_spec,  # x, shift, scale, gate
+            full, full, full, full, full,            # qkv_q/s, out_q/s, out_b
+            pl.BlockSpec((tile_rows, rot), lambda c: (c, 0),
+                         memory_space=pltpu.VMEM),   # cos
+            pl.BlockSpec((tile_rows, rot), lambda c: (c, 0),
+                         memory_space=pltpu.VMEM),   # sin
+            full,                                    # R
+        ],
+        out_specs=row_spec,
+        interpret=interpret_mode(),
+        compiler_params=_BRANCH_PARAMS,
+    )(xf, shift, scale, gate, qkv_q, qkv_s.reshape(1, -1), out_q,
+      out_s.reshape(1, -1), out_b, cos, sin, R)
+    return out.reshape(N, S, D)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "n_frames"))
+def fused_temporal_branch_q(x, shift, scale, gate, qkv_q, qkv_s, out_q,
+                            out_s, out_b, rope_freqs, valid, num_heads,
+                            n_frames):
+    """int8 twin of gtax.kernels.block.fused_temporal_branch."""
+    N, S, D = x.shape
+    T = n_frames
+    B = N // T
+    d = D // num_heads
+    cos, sin, Rf, seg, bias = temporal_preamble(
+        rope_freqs, valid, B, S, T, num_heads, d, x.dtype
+    )
+
+    xf = x.reshape(N * S, D)
+    expand = lambda vv: jnp.repeat(vv, S, axis=0)  # noqa: E731
+    shift, scale, gate = expand(shift), expand(scale), expand(gate)
+    out_b = out_b.reshape(1, -1)
+    b_pt = _frames_per_tile(B, T * S)
+    n_tiles = B // b_pt
+    tile_rows = b_pt * T * S
+    row_spec = pl.BlockSpec((tile_rows, D), lambda c: (c, 0),
+                            memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(
+            _temporal_kernel_q, num_heads=num_heads, n_frames=T,
+            n_batches=b_pt, seq_len=S, ln_eps=1e-6, mod_eps=1e-6,
+        ),
+        out_shape=jax.ShapeDtypeStruct(xf.shape, x.dtype),
+        grid=(n_tiles,),
+        in_specs=[
+            row_spec, row_spec, row_spec, row_spec,  # x, shift, scale, gate
+            full, full, full, full, full,            # qkv_q/s, out_q/s, out_b
+            row_spec, row_spec,                      # cos, sin (per-row)
+            full, full,                              # Rf, seg
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # bias (T, T)
+        ],
+        out_specs=row_spec,
+        interpret=interpret_mode(),
+        compiler_params=_BRANCH_PARAMS,
+    )(xf, shift, scale, gate, qkv_q, qkv_s.reshape(1, -1), out_q,
+      out_s.reshape(1, -1), out_b, cos, sin, Rf, seg, bias)
+    return out.reshape(N, S, D)
+
+
+@functools.partial(jax.jit, static_argnames=("approx_gelu",))
+def fused_mlp_branch_q(x, shift, scale, gate, w1_q, w1_s, b1, w2_q, w2_s,
+                       b2, approx_gelu=True):
+    """int8 twin of gtax.kernels.block.fused_mlp_branch."""
+    N, S, D = x.shape
+    H = w1_q.shape[1]
+    xf = x.reshape(N * S, D)
+    expand = lambda v: jnp.repeat(v, S, axis=0)  # noqa: E731
+    shift, scale, gate = expand(shift), expand(scale), expand(gate)
+    b1 = b1.reshape(1, H)
+    b2 = b2.reshape(1, D)
+    fpt = _frames_per_tile(N, S)
+    n_tiles = N // fpt
+    tile_rows = fpt * S
+    row_spec = pl.BlockSpec((tile_rows, D), lambda c: (c, 0),
+                            memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(
+            _mlp_kernel_q, ln_eps=1e-6, mod_eps=1e-6, approx_gelu=approx_gelu,
+        ),
+        out_shape=jax.ShapeDtypeStruct(xf.shape, x.dtype),
+        grid=(n_tiles,),
+        in_specs=[row_spec, row_spec, row_spec, row_spec,
+                  full, full, full, full, full, full],
+        out_specs=row_spec,
+        interpret=interpret_mode(),
+        compiler_params=_BRANCH_PARAMS,
+    )(xf, shift, scale, gate, w1_q, w1_s.reshape(1, -1), b1, w2_q,
+      w2_s.reshape(1, -1), b2)
+    return out.reshape(N, S, D)

@@ -192,9 +192,30 @@ def _block_apply(x, c, bp, spatial_freqs, temporal_freqs, num_heads, valid,
     the post-gate delta works identically under every attention backend."""
     sh1, sc1, g1, sh2, sc2, g2 = adaln(bp["s_adaln"], c, 6, dtype)
     dtype_name = jnp.dtype(dtype).name
+    # W8A8 serving params (quantize_for_inference) carry "kernel_q" leaves;
+    # they can only run through the int8 Pallas kernels, whatever the backend
+    quant = "kernel_q" in bp["s_attn"]["qkv"]
     x_pre_s = x
     if attn_cache is not None:
         x = x + attn_cache[0].astype(x.dtype)
+    elif quant:
+        from gtax.kernels.quant import fused_spatial_branch_q
+
+        B, T, gh, gw, D = x.shape
+        S = gh * gw
+        x = fused_spatial_branch_q(
+            x.reshape(B * T, S, D),
+            sh1.reshape(B * T, D),
+            sc1.reshape(B * T, D),
+            g1.reshape(B * T, D),
+            bp["s_attn"]["qkv"]["kernel_q"],
+            bp["s_attn"]["qkv"]["scale"],
+            bp["s_attn"]["out"]["kernel_q"],
+            bp["s_attn"]["out"]["scale"],
+            bp["s_attn"]["out"]["bias"],
+            spatial_freqs.reshape(S, -1),
+            num_heads,
+        ).reshape(B, T, gh, gw, D)
     elif attn.get_backend() in ("fused", "fused_all"):
         # whole spatial attention branch as one VMEM-resident Pallas kernel;
         # the trainable wrapper adds an XLA-autodiff backward (custom_vjp) so
@@ -224,6 +245,23 @@ def _block_apply(x, c, bp, spatial_freqs, temporal_freqs, num_heads, valid,
     def mlp_branch(x, prms, shift, scale, g):
         # single-pass whole-branch MLP kernel (weights VMEM-resident, LN
         # computed once — the fix for round-1's chunked negative result)
+        if quant:
+            from gtax.kernels.quant import fused_mlp_branch_q
+
+            B, T, gh, gw, D = x.shape
+            S = gh * gw
+            return fused_mlp_branch_q(
+                x.reshape(B * T, S, D),
+                shift.reshape(B * T, D),
+                scale.reshape(B * T, D),
+                g.reshape(B * T, D),
+                prms["fc1"]["kernel_q"],
+                prms["fc1"]["scale"],
+                prms["fc1"]["bias"],
+                prms["fc2"]["kernel_q"],
+                prms["fc2"]["scale"],
+                prms["fc2"]["bias"],
+            ).reshape(B, T, gh, gw, D)
         if attn.get_backend() in ("fused_mlp", "fused_all"):
             from gtax.nn.branches import trainable_mlp_branch
 
@@ -251,6 +289,30 @@ def _block_apply(x, c, bp, spatial_freqs, temporal_freqs, num_heads, valid,
     x_pre_t = x
     if attn_cache is not None:
         x = x + attn_cache[1].astype(x.dtype)
+    elif quant:
+        from gtax.kernels.quant import fused_temporal_branch_q
+
+        assert valid is None or valid.ndim == 1, (
+            "quantized params serve inference rollouts only (valid must be "
+            "None or a (T,) mask)"
+        )
+        B, T, gh, gw, D = x.shape
+        S = gh * gw
+        x = fused_temporal_branch_q(
+            x.reshape(B * T, S, D),
+            th1.reshape(B * T, D),
+            tc1.reshape(B * T, D),
+            tg1.reshape(B * T, D),
+            bp["t_attn"]["qkv"]["kernel_q"],
+            bp["t_attn"]["qkv"]["scale"],
+            bp["t_attn"]["out"]["kernel_q"],
+            bp["t_attn"]["out"]["scale"],
+            bp["t_attn"]["out"]["bias"],
+            temporal_freqs,
+            valid,
+            num_heads,
+            T,
+        ).reshape(B, T, gh, gw, D)
     elif attn.get_backend() in ("fused", "fused_all") and (
             valid is None or valid.ndim == 1
     ):
@@ -587,6 +649,54 @@ def unstack_for_inference(params, cfg: DiTConfig):
         jax.tree.map(lambda a, i=i: a[i], params["blocks"])
         for i in range(cfg.depth)
     )
+    return out
+
+
+def quantize_for_inference(params, cfg: DiTConfig, adaln: bool = True):
+    """W8A8 serving: int8-quantize every block's per-token GEMM kernels
+    (qkv/out/fc1/fc2 of both halves — symmetric per-output-channel, scales
+    kept fp32). The quantized blocks dispatch to the int8 Pallas kernels in
+    gtax.kernels.quant (_block_apply detects the "kernel_q" leaves); the MXU
+    runs int8 at 2x bf16 on v5e and weight streaming halves. With adaln=True
+    (default) the per-block adaLN heads also quantize — they are
+    FLOP-negligible (5 conditioning rows) but carry a third of the block
+    weight bytes, and run via the int8 path of gtax.nn.layers.linear.
+    Patch/timestep embedders and the final layer stay in the compute dtype —
+    they are a small fraction of FLOPs and bytes.
+
+    Apply AFTER cast_params_for_inference and either before or after
+    unstack_for_inference (stacked (L, din, dout) kernels quantize with
+    per-block scales). Inference-only: the quantized pytree is not trainable
+    and not exportable; keep the original params for checkpointing."""
+    from gtax.kernels.quant import quantize_weight
+
+    def qlin(d):
+        q, s = quantize_weight(d["kernel"])
+        nd = {"kernel_q": q, "scale": s}
+        if "bias" in d:
+            nd["bias"] = d["bias"]
+        return nd
+
+    def qblock(bp):
+        nbp = {k: (dict(v) if isinstance(v, dict) else v)
+               for k, v in bp.items()}
+        for attn_k in ("s_attn", "t_attn"):
+            nbp[attn_k]["qkv"] = qlin(bp[attn_k]["qkv"])
+            nbp[attn_k]["out"] = qlin(bp[attn_k]["out"])
+        for mlp_k in ("s_mlp", "t_mlp"):
+            nbp[mlp_k]["fc1"] = qlin(bp[mlp_k]["fc1"])
+            nbp[mlp_k]["fc2"] = qlin(bp[mlp_k]["fc2"])
+        if adaln:
+            nbp["s_adaln"] = qlin(bp["s_adaln"])
+            nbp["t_adaln"] = qlin(bp["t_adaln"])
+        return nbp
+
+    out = dict(params)
+    blocks = params["blocks"]
+    if isinstance(blocks, (list, tuple)):
+        out["blocks"] = tuple(qblock(bp) for bp in blocks)
+    else:
+        out["blocks"] = qblock(blocks)
     return out
 
 

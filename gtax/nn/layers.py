@@ -38,7 +38,27 @@ def matmul_precision(compute_dtype):
 
 
 def linear(params, x, compute_dtype=jnp.bfloat16):
-    """y = x @ kernel + bias. kernel: (in, out); bias optional."""
+    """y = x @ kernel + bias. kernel: (in, out); bias optional.
+
+    W8A8 serving params (gtax.models.dit.quantize_for_inference) carry
+    "kernel_q" int8 kernels with per-output-channel "scale"; activations are
+    dynamically quantized per row and the dot runs on the MXU's int8 path
+    (2x bf16 rate on v5e) with fp32 rescale — the weight stays int8 in HBM,
+    so streaming also halves."""
+    if "kernel_q" in params:
+        x32 = x.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
+        sa = jnp.maximum(amax, 1e-12) * (1.0 / 127.0)
+        q = jnp.round(x32 * (1.0 / sa)).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            q, params["kernel_q"],
+            (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        y = acc.astype(jnp.float32) * sa * params["scale"]
+        if "bias" in params:
+            y = y + params["bias"].astype(jnp.float32)
+        return y.astype(compute_dtype)
     kernel = params["kernel"].astype(compute_dtype)
     y = jnp.dot(
         x.astype(compute_dtype),
