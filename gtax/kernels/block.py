@@ -55,48 +55,40 @@ def rotate_half_matrix(d: int) -> np.ndarray:
     return R
 
 
-def _kernel(x_ref, shift_ref, scale_ref, gate_ref, qkvw_ref, outw_ref,
-            outb_ref, cos_ref, sin_ref, rot_ref, o_ref, *, num_heads,
-            n_frames, seq_len, ln_eps, mod_eps):
-    """One kernel call = the whole (N*S, D) token batch: weights stream from
-    HBM exactly once. LN/modulate/qkv/out run as full-batch GEMMs; only the
-    attention itself loops over (frame, head) on VMEM-resident tiles."""
-    x = x_ref[:]  # (N*S, D) bf16
-    NS, D = x.shape
-    S = seq_len
-    d = D // num_heads
-
-    # LayerNorm (no affine) in fp32
-    x32 = x.astype(jnp.float32)
+def _ln_modulate32(x_ref, shift_ref, scale_ref, ln_eps, mod_eps):
+    """LayerNorm (no affine) + adaLN modulate in fp32 (scale/shift
+    pre-broadcast to token rows by the callers). Shared by the bf16 and int8
+    kernel bodies so the fp32 normalization math can never drift between
+    them. Returns (x32, mod32)."""
+    x32 = x_ref[:].astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
     ln = (x32 - mean) * jax.lax.rsqrt(var + ln_eps)
-
-    # adaLN modulate (scale/shift pre-broadcast to token rows)
     scale = scale_ref[:].astype(jnp.float32)
     shift = shift_ref[:].astype(jnp.float32)
-    mod = (ln * (1.0 + scale + mod_eps) + shift).astype(x.dtype)
+    return x32, ln * (1.0 + scale + mod_eps) + shift
 
-    # fused qkv GEMM over all tokens
-    qkv = jnp.dot(mod, qkvw_ref[:], preferred_element_type=jnp.float32)
-    q, k, v = qkv[:, :D], qkv[:, D:2 * D], qkv[:, 2 * D:]
 
-    # rope via signed-permutation matmul (full batch, per-head lane slices —
-    # Mosaic has no lane-dim reshape)
-    cos = cos_ref[:]  # (S, d) fp32, tiled over frames below
-    sin = sin_ref[:]
-    R = rot_ref[:]    # (d, d) fp32
-
+def _spatial_attention_core(q, k, v, cos, sin, R, dtype, num_heads, n_frames,
+                            seq_len):
+    """Per-frame full attention over fp32 qkv (N*S, D) slabs: rope via the
+    signed-permutation matmul (full batch, per-head lane slices — Mosaic has
+    no lane-dim reshape), then (frame, head)-looped attention on
+    VMEM-resident tiles. Returns fp32 (N*S, D). Shared by the bf16 and int8
+    kernels — only the GEMMs around it differ."""
+    S = seq_len
+    D = q.shape[-1]
+    d = D // num_heads
     scale_attn = 1.0 / (d**0.5)
     head_outs = []
     for h in range(num_heads):
         sl = slice(h * d, (h + 1) * d)
         qs32, ks32 = q[:, sl], k[:, sl]
         qs = (qs32 * cos + jnp.dot(
-            qs32, R, preferred_element_type=jnp.float32) * sin).astype(x.dtype)
+            qs32, R, preferred_element_type=jnp.float32) * sin).astype(dtype)
         ks = (ks32 * cos + jnp.dot(
-            ks32, R, preferred_element_type=jnp.float32) * sin).astype(x.dtype)
-        vs = v[:, sl].astype(x.dtype)
+            ks32, R, preferred_element_type=jnp.float32) * sin).astype(dtype)
+        vs = v[:, sl].astype(dtype)
         frame_outs = []
         for n in range(n_frames):
             fr = slice(n * S, (n + 1) * S)
@@ -106,13 +98,35 @@ def _kernel(x_ref, shift_ref, scale_ref, gate_ref, qkvw_ref, outw_ref,
             ) * scale_attn
             m = jnp.max(scores, axis=-1, keepdims=True)
             e = jnp.exp(scores - m)
-            probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
+            probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dtype)
             frame_outs.append(
                 jnp.dot(probs, vs[fr], preferred_element_type=jnp.float32)
             )
         head_outs.append(jnp.concatenate(frame_outs, axis=0))
     # heads are contiguous d-slices of D in (h, d) order
-    attn_out = jnp.concatenate(head_outs, axis=-1).astype(x.dtype)
+    return jnp.concatenate(head_outs, axis=-1)
+
+
+def _kernel(x_ref, shift_ref, scale_ref, gate_ref, qkvw_ref, outw_ref,
+            outb_ref, cos_ref, sin_ref, rot_ref, o_ref, *, num_heads,
+            n_frames, seq_len, ln_eps, mod_eps):
+    """One kernel call = the whole (N*S, D) token batch: weights stream from
+    HBM exactly once. LN/modulate/qkv/out run as full-batch GEMMs; only the
+    attention itself loops over (frame, head) on VMEM-resident tiles."""
+    x = x_ref[:]  # (N*S, D) bf16
+    NS, D = x.shape
+
+    x32, mod32 = _ln_modulate32(x_ref, shift_ref, scale_ref, ln_eps, mod_eps)
+    mod = mod32.astype(x.dtype)
+
+    # fused qkv GEMM over all tokens
+    qkv = jnp.dot(mod, qkvw_ref[:], preferred_element_type=jnp.float32)
+    q, k, v = qkv[:, :D], qkv[:, D:2 * D], qkv[:, 2 * D:]
+
+    attn_out = _spatial_attention_core(
+        q, k, v, cos_ref[:], sin_ref[:], rot_ref[:], x.dtype, num_heads,
+        n_frames, seq_len,
+    ).astype(x.dtype)
 
     # output projection + bias over all tokens
     y = jnp.dot(attn_out, outw_ref[:], preferred_element_type=jnp.float32)
@@ -140,33 +154,42 @@ def _temporal_kernel(x_ref, shift_ref, scale_ref, gate_ref, qkvw_ref,
     """
     x = x_ref[:]  # (N*S, D)
     NS, D = x.shape
-    S = seq_len
-    T = n_frames
 
-    x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
-    ln = (x32 - mean) * jax.lax.rsqrt(var + ln_eps)
-    scale = scale_ref[:].astype(jnp.float32)
-    shift = shift_ref[:].astype(jnp.float32)
-    mod = (ln * (1.0 + scale + mod_eps) + shift).astype(x.dtype)
+    x32, mod32 = _ln_modulate32(x_ref, shift_ref, scale_ref, ln_eps, mod_eps)
+    mod = mod32.astype(x.dtype)
 
     qkv = jnp.dot(mod, qkvw_ref[:], preferred_element_type=jnp.float32)
     q, k, v = qkv[:, :D], qkv[:, D:2 * D], qkv[:, 2 * D:]
 
-    # full-width rope over the frame axis: cos/sin (N*S, D) tiled per frame
-    # and across heads; rotate_half via the block-diagonal signed permutation
-    cos, sin, Rf = cos_ref[:], sin_ref[:], rotf_ref[:]
+    attn_out = _temporal_attention_core(
+        q, k, v, cos_ref[:], sin_ref[:], rotf_ref[:], seg_ref[:], bias_ref,
+        x.dtype, num_heads, n_frames, n_batches, seq_len,
+    ).astype(x.dtype)
+
+    y = jnp.dot(attn_out, outw_ref[:], preferred_element_type=jnp.float32)
+    y = y + outb_ref[0].astype(jnp.float32)
+    g = gate_ref[:].astype(jnp.float32)
+    o_ref[:] = (x32 + g * y).astype(o_ref.dtype)
+
+
+def _temporal_attention_core(q, k, v, cos, sin, Rf, seg, bias_ref, dtype,
+                             num_heads, n_frames, n_batches, seq_len):
+    """Causal frame-pair attention over fp32 qkv (N*S, D) slabs: full-width
+    rope over the frame axis (rotate_half via the block-diagonal signed
+    permutation Rf), then segment-sum scores per causal (i, j) frame pair —
+    token-major rows are frame-contiguous so no relayout is needed. Returns
+    fp32 (N*S, D). Shared by the bf16 and int8 kernels."""
+    S = seq_len
+    T = n_frames
+    D = q.shape[-1]
+    d = D // num_heads
     q = q * cos + jnp.dot(q, Rf, preferred_element_type=jnp.float32) * sin
     k = k * cos + jnp.dot(k, Rf, preferred_element_type=jnp.float32) * sin
-    q = q.astype(x.dtype)
-    k = k.astype(x.dtype)
-    v = v.astype(x.dtype)
+    q = q.astype(dtype)
+    k = k.astype(dtype)
+    v = v.astype(dtype)
 
-    seg = seg_ref[:]  # (D, h) head-indicator, bf16
-    d = D // num_heads
     scale_attn = 1.0 / (d**0.5)
-
     out_rows = []
     for b in range(n_batches):
         base = b * T * S
@@ -181,7 +204,7 @@ def _temporal_kernel(x_ref, shift_ref, scale_ref, gate_ref, qkvw_ref,
             for j in range(i + 1):
                 kj = frame(j, k)
                 scores[i][j] = jnp.dot(
-                    (qi * kj).astype(x.dtype), seg,
+                    (qi * kj).astype(dtype), seg,
                     preferred_element_type=jnp.float32,
                 ) * scale_attn + bias_ref[i, j]
 
@@ -196,19 +219,14 @@ def _temporal_kernel(x_ref, shift_ref, scale_ref, gate_ref, qkvw_ref,
                 denom = denom + e
             acc = None
             for j, e in enumerate(exps):
-                probs = (e / denom).astype(x.dtype)
+                probs = (e / denom).astype(dtype)
                 pexp = jnp.dot(
-                    probs, seg_ref[:].T, preferred_element_type=jnp.float32
-                ).astype(x.dtype)
+                    probs, seg.T, preferred_element_type=jnp.float32
+                ).astype(dtype)
                 term = pexp * frame(j, v)
                 acc = term if acc is None else acc + term
             out_rows.append(acc)
-    attn_out = jnp.concatenate(out_rows, axis=0).astype(x.dtype)
-
-    y = jnp.dot(attn_out, outw_ref[:], preferred_element_type=jnp.float32)
-    y = y + outb_ref[0].astype(jnp.float32)
-    g = gate_ref[:].astype(jnp.float32)
-    o_ref[:] = (x32 + g * y).astype(o_ref.dtype)
+    return jnp.concatenate(out_rows, axis=0).astype(jnp.float32)
 
 
 def temporal_preamble(rope_freqs, valid, B, S, T, num_heads, d, dtype):
@@ -299,13 +317,8 @@ def _mlp_kernel(x_ref, shift_ref, scale_ref, gate_ref, w1_ref, b1_ref,
     version is the fix — VERDICT r1 next-#3.)"""
     x = x_ref[:]  # (N*S, D)
 
-    x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
-    ln = (x32 - mean) * jax.lax.rsqrt(var + ln_eps)
-    scale = scale_ref[:].astype(jnp.float32)
-    shift = shift_ref[:].astype(jnp.float32)
-    mod = (ln * (1.0 + scale + mod_eps) + shift).astype(x.dtype)
+    x32, mod32 = _ln_modulate32(x_ref, shift_ref, scale_ref, ln_eps, mod_eps)
+    mod = mod32.astype(x.dtype)
 
     h = jnp.dot(mod, w1_ref[:], preferred_element_type=jnp.float32)
     h = h + b1_ref[0].astype(jnp.float32)

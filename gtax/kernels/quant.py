@@ -38,6 +38,9 @@ from gtax.kernels.attention import interpret_mode
 from gtax.kernels.block import (
     _BRANCH_PARAMS,
     _frames_per_tile,
+    _ln_modulate32,
+    _spatial_attention_core,
+    _temporal_attention_core,
     rotate_half_matrix,
     temporal_preamble,
 )
@@ -72,62 +75,24 @@ def _qdot(a32, wq_ref, ws_ref):
     return acc.astype(jnp.float32) * sa * ws_ref[:]
 
 
-def _ln_modulate32(x_ref, shift_ref, scale_ref, ln_eps, mod_eps):
-    """LayerNorm(no affine) + adaLN modulate, fp32 (same math as the bf16
-    kernels, minus their final bf16 cast — the quantizer consumes fp32)."""
-    x32 = x_ref[:].astype(jnp.float32)
-    mean = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
-    ln = (x32 - mean) * jax.lax.rsqrt(var + ln_eps)
-    scale = scale_ref[:].astype(jnp.float32)
-    shift = shift_ref[:].astype(jnp.float32)
-    return x32, ln * (1.0 + scale + mod_eps) + shift
-
-
 def _spatial_kernel_q(x_ref, shift_ref, scale_ref, gate_ref, qkvq_ref,
                       qkvs_ref, outq_ref, outs_ref, outb_ref, cos_ref,
                       sin_ref, rot_ref, o_ref, *, num_heads, n_frames,
                       seq_len, ln_eps, mod_eps):
-    """W8A8 twin of gtax.kernels.block._kernel (see there for the layout
-    story); only the qkv and out GEMMs change."""
+    """W8A8 twin of gtax.kernels.block._kernel: the LN/modulate and the
+    attention core are the SAME code (imported); only the qkv and out GEMMs
+    go through the dynamic-int8 path."""
     x = x_ref[:]
     NS, D = x.shape
-    S = seq_len
-    d = D // num_heads
 
     x32, mod = _ln_modulate32(x_ref, shift_ref, scale_ref, ln_eps, mod_eps)
     qkv = _qdot(mod, qkvq_ref, qkvs_ref)  # (NS, 3D) fp32
     q, k, v = qkv[:, :D], qkv[:, D:2 * D], qkv[:, 2 * D:]
 
-    cos = cos_ref[:]
-    sin = sin_ref[:]
-    R = rot_ref[:]
-
-    scale_attn = 1.0 / (d**0.5)
-    head_outs = []
-    for h in range(num_heads):
-        sl = slice(h * d, (h + 1) * d)
-        qs32, ks32 = q[:, sl], k[:, sl]
-        qs = (qs32 * cos + jnp.dot(
-            qs32, R, preferred_element_type=jnp.float32) * sin).astype(x.dtype)
-        ks = (ks32 * cos + jnp.dot(
-            ks32, R, preferred_element_type=jnp.float32) * sin).astype(x.dtype)
-        vs = v[:, sl].astype(x.dtype)
-        frame_outs = []
-        for n in range(n_frames):
-            fr = slice(n * S, (n + 1) * S)
-            scores = jax.lax.dot_general(
-                qs[fr], ks[fr], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * scale_attn
-            m = jnp.max(scores, axis=-1, keepdims=True)
-            e = jnp.exp(scores - m)
-            probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
-            frame_outs.append(
-                jnp.dot(probs, vs[fr], preferred_element_type=jnp.float32)
-            )
-        head_outs.append(jnp.concatenate(frame_outs, axis=0))
-    attn_out = jnp.concatenate(head_outs, axis=-1)  # fp32
+    attn_out = _spatial_attention_core(
+        q, k, v, cos_ref[:], sin_ref[:], rot_ref[:], x.dtype, num_heads,
+        n_frames, seq_len,
+    )
 
     y = _qdot(attn_out, outq_ref, outs_ref)
     y = y + outb_ref[0].astype(jnp.float32)
@@ -141,63 +106,19 @@ def _temporal_kernel_q(x_ref, shift_ref, scale_ref, gate_ref, qkvq_ref,
                        sin_ref, rotf_ref, seg_ref, bias_ref, o_ref, *,
                        num_heads, n_frames, n_batches, seq_len, ln_eps,
                        mod_eps):
-    """W8A8 twin of gtax.kernels.block._temporal_kernel."""
+    """W8A8 twin of gtax.kernels.block._temporal_kernel (shared attention
+    core; int8 qkv/out GEMMs)."""
     x = x_ref[:]
     NS, D = x.shape
-    S = seq_len
-    T = n_frames
 
     x32, mod = _ln_modulate32(x_ref, shift_ref, scale_ref, ln_eps, mod_eps)
     qkv = _qdot(mod, qkvq_ref, qkvs_ref)
     q, k, v = qkv[:, :D], qkv[:, D:2 * D], qkv[:, 2 * D:]
 
-    cos, sin, Rf = cos_ref[:], sin_ref[:], rotf_ref[:]
-    q = q * cos + jnp.dot(q, Rf, preferred_element_type=jnp.float32) * sin
-    k = k * cos + jnp.dot(k, Rf, preferred_element_type=jnp.float32) * sin
-    q = q.astype(x.dtype)
-    k = k.astype(x.dtype)
-    v = v.astype(x.dtype)
-
-    seg = seg_ref[:]
-    d = D // num_heads
-    scale_attn = 1.0 / (d**0.5)
-
-    out_rows = []
-    for b in range(n_batches):
-        base = b * T * S
-
-        def frame(t, arr):
-            return arr[base + t * S: base + (t + 1) * S]
-
-        scores = [[None] * T for _ in range(T)]
-        for i in range(T):
-            qi = frame(i, q)
-            for j in range(i + 1):
-                kj = frame(j, k)
-                scores[i][j] = jnp.dot(
-                    (qi * kj).astype(x.dtype), seg,
-                    preferred_element_type=jnp.float32,
-                ) * scale_attn + bias_ref[i, j]
-
-        for i in range(T):
-            row = [scores[i][j] for j in range(i + 1)]
-            m = row[0]
-            for s_ij in row[1:]:
-                m = jnp.maximum(m, s_ij)
-            exps = [jnp.exp(s_ij - m) for s_ij in row]
-            denom = exps[0]
-            for e in exps[1:]:
-                denom = denom + e
-            acc = None
-            for j, e in enumerate(exps):
-                probs = (e / denom).astype(x.dtype)
-                pexp = jnp.dot(
-                    probs, seg_ref[:].T, preferred_element_type=jnp.float32
-                ).astype(x.dtype)
-                term = pexp * frame(j, v)
-                acc = term if acc is None else acc + term
-            out_rows.append(acc)
-    attn_out = jnp.concatenate(out_rows, axis=0).astype(jnp.float32)
+    attn_out = _temporal_attention_core(
+        q, k, v, cos_ref[:], sin_ref[:], rotf_ref[:], seg_ref[:], bias_ref,
+        x.dtype, num_heads, n_frames, n_batches, seq_len,
+    )
 
     y = _qdot(attn_out, outq_ref, outs_ref)
     y = y + outb_ref[0].astype(jnp.float32)
@@ -208,8 +129,9 @@ def _temporal_kernel_q(x_ref, shift_ref, scale_ref, gate_ref, qkvq_ref,
 def _mlp_kernel_q(x_ref, shift_ref, scale_ref, gate_ref, w1q_ref, w1s_ref,
                   b1_ref, w2q_ref, w2s_ref, b2_ref, o_ref, *, ln_eps,
                   mod_eps, approx_gelu):
-    """W8A8 twin of gtax.kernels.block._mlp_kernel: both MLP GEMMs int8; the
-    hidden activation re-quantizes per row after the fp32 GELU."""
+    """W8A8 twin of gtax.kernels.block._mlp_kernel (shared LN/modulate):
+    both MLP GEMMs int8; the hidden activation re-quantizes per row after
+    the fp32 GELU."""
     x32, mod = _ln_modulate32(x_ref, shift_ref, scale_ref, ln_eps, mod_eps)
 
     h = _qdot(mod, w1q_ref, w1s_ref) + b1_ref[0].astype(jnp.float32)

@@ -25,6 +25,10 @@ def main():
     p.add_argument("--unstack", action="store_true",
                    help="per-block weight pytrees (the serving layout)")
     p.add_argument("--backends", default="xla,pallas,fused,fused_mlp,fused_all")
+    p.add_argument("--quantize", choices=["none", "int8"], default="none",
+                   help="int8 = W8A8 serving params (backend list is "
+                        "ignored; the quantized path always takes the int8 "
+                        "Pallas kernels)")
     args = p.parse_args()
 
     import jax
@@ -44,6 +48,11 @@ def main():
         from gtax.models.dit import unstack_for_inference
 
         params = unstack_for_inference(params, cfg)
+    if args.quantize == "int8":
+        from gtax.models.dit import quantize_for_inference
+
+        params = quantize_for_inference(params, cfg)
+        args.backends = "int8"  # label only; quant params force int8 kernels
 
     B = args.batch
     x = jax.random.normal(jax.random.PRNGKey(1), (B, 5, 16, 18, 32))
@@ -55,7 +64,8 @@ def main():
 
     results = {}
     for backend in args.backends.split(","):
-        attention_mod.set_backend(backend)
+        if backend != "int8":
+            attention_mod.set_backend(backend)
 
         # K chained forwards inside ONE program (device-side scan, each
         # iteration's input depends on the previous output) — per-call host

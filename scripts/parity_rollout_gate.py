@@ -133,6 +133,14 @@ def gtax_rollout(prompt, noise, total_frames, steps):
     vae_cfg = VAE_MODELS["vit-l-20-shallow-encoder"]()
     dit_params = port.load_dit(args.dit, dit_cfg, verbose=False)
     vae_params = port.load_vae(args.vae, vae_cfg, verbose=False)
+    if getattr(args, "quantize", "none") == "int8":
+        # W8A8 serving path at FULL SIZE vs the torch fp32 rollout — gates
+        # the quantization itself, not just the port/sampler
+        from gtax.models.dit import (quantize_for_inference,
+                                     unstack_for_inference)
+
+        dit_params = quantize_for_inference(
+            unstack_for_inference(dit_params, dit_cfg), dit_cfg)
 
     lat = encode_frames(vae_params, vae_cfg, jnp.asarray(prompt), jnp.float32)
     assert abs(LATENT_SCALE - 0.07843137255) < 1e-12
@@ -179,6 +187,10 @@ if __name__ == "__main__":
     p.add_argument("--dit", default=os.path.join(FULL, "dit_full.safetensors"))
     p.add_argument("--vae", default=os.path.join(FULL, "vae_full.safetensors"))
     p.add_argument("--min-psnr", type=float, default=25.0)
+    p.add_argument("--quantize", choices=["none", "int8"], default="none",
+                   help="int8 = gate the W8A8 serving path at full size")
+    p.add_argument("--out", default="parity_gate_result.json",
+                   help="result filename under tests/golden_full/")
     args = p.parse_args()
 
     prompt = load_prompt()
@@ -190,17 +202,32 @@ if __name__ == "__main__":
         -NOISE_ABS_MAX, NOISE_ABS_MAX,
     )
 
-    print("=== gtax rollout (fp32, xla backend) ===", flush=True)
+    tag = "int8 W8A8" if args.quantize == "int8" else "fp32, xla backend"
+    print(f"=== gtax rollout ({tag}) ===", flush=True)
     ours, ours_lat, gtax_s, gtax_fwd, gtax_dev = gtax_rollout(
         prompt, noise, args.frames, args.steps
     )
     print(f"gtax[{gtax_dev}]: rollout+compile {gtax_s:.0f}s, "
           f"per-forward {gtax_fwd*1e3:.0f}ms", flush=True)
 
-    print("=== torch reference rollout (CPU, fp32) ===", flush=True)
-    ref, ref_lat, torch_s, torch_fwd = torch_rollout(
-        prompt, noise, args.frames, args.steps
-    )
+    # the torch rollout is deterministic in (prompt, noise, frames, steps,
+    # checkpoint) and costs ~13 min on CPU — cache it for repeat gates
+    # (e.g. the int8 gate re-checks a different gtax path vs the SAME ref)
+    ref_cache = os.path.join(
+        FULL, f"ref_rollout_f{args.frames}_s{args.steps}.npz")
+    if os.path.exists(ref_cache):
+        print(f"=== torch reference rollout (cached: {ref_cache}) ===",
+              flush=True)
+        z = np.load(ref_cache)
+        ref, ref_lat = z["ref"], z["ref_lat"]
+        torch_s, torch_fwd = float(z["torch_s"]), float(z["torch_fwd"])
+    else:
+        print("=== torch reference rollout (CPU, fp32) ===", flush=True)
+        ref, ref_lat, torch_s, torch_fwd = torch_rollout(
+            prompt, noise, args.frames, args.steps
+        )
+        np.savez_compressed(ref_cache, ref=ref, ref_lat=ref_lat,
+                            torch_s=torch_s, torch_fwd=torch_fwd)
     print(f"torch: rollout {torch_s:.0f}s, per-forward {torch_fwd*1e3:.0f}ms",
           flush=True)
 
@@ -224,14 +251,16 @@ if __name__ == "__main__":
         "gtax_fwd_ms": round(gtax_fwd * 1e3, 1),
         "fwd_speedup_gtax_vs_torch_cpu": round(torch_fwd / gtax_fwd, 2),
         "checkpoint": os.path.basename(args.dit),
+        "quantize": args.quantize,
     }
     os.makedirs(FULL, exist_ok=True)
-    with open(os.path.join(FULL, "parity_gate_result.json"), "w") as f:
+    with open(os.path.join(FULL, args.out), "w") as f:
         json.dump(result, f, indent=1)
     try:
         from gtax.io.video import write_video
 
-        write_video(os.path.join(FULL, "ours.mp4"), ours, fps=10)
+        suffix = "_int8" if args.quantize == "int8" else ""
+        write_video(os.path.join(FULL, f"ours{suffix}.mp4"), ours, fps=10)
         write_video(os.path.join(FULL, "ref.mp4"), ref, fps=10)
     except Exception as e:  # mp4s are a convenience artifact only
         print("mp4 write skipped:", e)
