@@ -22,6 +22,10 @@ import argparse
 import json
 import time
 
+from gtax.utils.platform import honor_env_platform
+
+honor_env_platform()  # must precede any jax device use
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -75,6 +79,13 @@ def build_parser():
     p.add_argument("--no_unstack", action="store_true",
                    help="keep the stacked-weight block scan (shorter compile,"
                         " ~25%% slower forward)")
+    p.add_argument("--mesh_model", type=int, default=1,
+                   help="tensor-parallel serving over N devices: DiT block "
+                        "weights shard over a 1xN 'model' mesh and GSPMD "
+                        "partitions the jitted rollout (collectives over "
+                        "ICI). Forces the xla attention backend — the Pallas "
+                        "megakernels are single-chip. Incompatible with "
+                        "--quantize int8.")
     p.add_argument("--dit_model", type=str, default="DiT-S/2",
                    help="model preset (gtax.models.dit.DiT_MODELS); "
                         "'DiT-debug' + empty --dit_model_path gives a "
@@ -126,6 +137,26 @@ def main(argv=None):
 
         dit_params = quantize_for_inference(dit_params, dit_cfg)
 
+    mesh = None
+    if args.mesh_model > 1:
+        # multi-chip tensor-parallel serving: shard block weights over
+        # 'model', replicate everything else; the existing jitted rollout is
+        # partitioned by GSPMD (computation follows the param placement)
+        assert args.quantize != "int8", (
+            "--mesh_model: the int8 Pallas kernels are single-chip; "
+            "use the bf16 xla path for TP serving"
+        )
+        attention_mod.set_backend("xla")
+        from gtax.parallel import mesh as meshlib
+
+        mesh = meshlib.make_mesh(
+            meshlib.MeshConfig(data=1, model=args.mesh_model),
+            devices=jax.devices()[: args.mesh_model],
+        )
+        dit_params = jax.device_put(
+            dit_params, meshlib.param_sharding(mesh, dit_params)
+        )
+
     total_frames = args.total_frames
     n_prompt = 4 if args.start_frame is None else 1
     sampler = SamplerConfig(
@@ -173,6 +204,12 @@ def main(argv=None):
     encode = jax.jit(lambda vp, v: encode_frames(vp, vae_cfg, v, dtype))
     decode = jax.jit(lambda vp, lat: decode_frames(vp, vae_cfg, lat, dtype))
     latents = encode(vae_params, jnp.asarray(video))
+    if mesh is not None:
+        from gtax.parallel.mesh import replicated
+
+        latents = jax.device_put(latents, replicated(mesh))
+        if actions is not None:
+            actions = jax.device_put(actions, replicated(mesh))
     pab = None
     if args.attn_broadcast > 1:
         from gtax.models.dit import make_pab_fns

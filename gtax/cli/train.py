@@ -14,6 +14,10 @@ from __future__ import annotations
 import argparse
 import logging
 
+from gtax.utils.platform import honor_env_platform
+
+honor_env_platform()  # must precede any jax device use
+
 
 def main(argv=None):
     parser = argparse.ArgumentParser()

@@ -64,20 +64,34 @@ def _dit_param_spec(path: tuple[str, ...], ndim: int) -> P:
 
     Stacked block kernels are (L, in, out): shard the sliced dimension over
     'model' — qkv/fc1/adaln on the output dim, out/fc2 on the input dim, so a
-    block needs exactly one reduce-scatter-equivalent psum per pair.
+    block needs exactly one reduce-scatter-equivalent psum per pair. The
+    UNSTACKED serving layout (unstack_for_inference: per-block (in, out)
+    kernels / (out,) biases) shards the same dimensions one rank lower —
+    GSPMD then partitions the jitted rollout over 'model' with no code
+    change (multi-chip serving; use the xla attention backend, the Pallas
+    megakernels are single-chip).
     """
     names = set(path)
     if "blocks" not in names:
         return P()
     col = {"qkv", "fc1", "s_adaln", "t_adaln", "adaln"}
     row = {"out", "fc2"}
-    if "kernel" in names and ndim == 3:
-        if names & col:
-            return P(None, None, "model")
-        if names & row:
-            return P(None, "model", None)
-    if "bias" in names and ndim == 2 and names & col:
-        return P(None, "model")
+    if "kernel" in names:
+        if ndim == 3:
+            if names & col:
+                return P(None, None, "model")
+            if names & row:
+                return P(None, "model", None)
+        if ndim == 2:
+            if names & col:
+                return P(None, "model")
+            if names & row:
+                return P("model", None)
+    if "bias" in names and names & col:
+        if ndim == 2:
+            return P(None, "model")
+        if ndim == 1:
+            return P("model")
     return P()
 
 
