@@ -76,6 +76,10 @@ def build_parser():
                    help="int8 = W8A8 serving quantization of the DiT block "
                         "GEMMs (2x MXU rate on v5e, ~lossless PSNR; "
                         "docs/PERF.md)")
+    p.add_argument("--no_cond_cache", action="store_true",
+                   help="disable the per-frame conditioning cache (bit-exact "
+                        "adaLN precompute; on by default with the unstacked "
+                        "layout on the exact sampling path)")
     p.add_argument("--no_unstack", action="store_true",
                    help="keep the stacked-weight block scan (shorter compile,"
                         " ~25%% slower forward)")
@@ -223,7 +227,14 @@ def main(argv=None):
             pipeline_depth=args.pipeline_depth, pab=pab,
         )
     else:
-        rollout = make_rollout(dit_fn, dit_cfg.max_frames, sampler, pab=pab)
+        cond = None
+        if (args.attn_broadcast == 1 and not args.no_unstack
+                and not args.no_cond_cache and mesh is None):
+            from gtax.models.dit import make_cond_fns
+
+            cond = make_cond_fns(dit_cfg, dtype)
+        rollout = make_rollout(dit_fn, dit_cfg.max_frames, sampler, pab=pab,
+                               cond=cond)
 
     t0 = time.perf_counter()
     lat = rollout(dit_params, latents, actions, rng,

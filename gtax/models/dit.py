@@ -180,7 +180,7 @@ def _block_init(key, D, H4, H6):
 
 
 def _block_apply(x, c, bp, spatial_freqs, temporal_freqs, num_heads, valid,
-                 dtype, attn_cache=None, collect=False):
+                 dtype, attn_cache=None, collect=False, mods=None):
     """One SpatioTemporalDiTBlock (reference model/dit.py:200-225).
 
     Attention-broadcast support (Pyramid Attention Broadcast,
@@ -189,8 +189,16 @@ def _block_apply(x, c, bp, spatial_freqs, temporal_freqs, num_heads, valid,
     attention branches' GATED RESIDUAL DELTAS (x_after - x_before); with
     attn_cache=(delta_s, delta_t) the attention branches are SKIPPED and the
     cached deltas are added instead (MLP branches always recompute). Caching
-    the post-gate delta works identically under every attention backend."""
-    sh1, sc1, g1, sh2, sc2, g2 = adaln(bp["s_adaln"], c, 6, dtype)
+    the post-gate delta works identically under every attention backend.
+
+    mods: optional precomputed adaLN head outputs for this block
+    ({"s": (B,T,6D), "t": (B,T,6D)} from dit_cond) — the conditioning cache
+    that lets serving rollouts skip the adaLN GEMMs entirely (c is then
+    unused). Bit-exact: the cached values are the same adaln() outputs."""
+    if mods is not None:
+        sh1, sc1, g1, sh2, sc2, g2 = jnp.split(mods["s"], 6, axis=-1)
+    else:
+        sh1, sc1, g1, sh2, sc2, g2 = adaln(bp["s_adaln"], c, 6, dtype)
     dtype_name = jnp.dtype(dtype).name
     # W8A8 serving params (quantize_for_inference) carry "kernel_q" leaves;
     # they can only run through the int8 Pallas kernels, whatever the backend
@@ -285,7 +293,10 @@ def _block_apply(x, c, bp, spatial_freqs, temporal_freqs, num_heads, valid,
     delta_s = (x - x_pre_s).astype(dtype) if collect else None
     x = mlp_branch(x, bp["s_mlp"], sh2, sc2, g2)
 
-    th1, tc1, tg1, th2, tc2, tg2 = adaln(bp["t_adaln"], c, 6, dtype)
+    if mods is not None:
+        th1, tc1, tg1, th2, tc2, tg2 = jnp.split(mods["t"], 6, axis=-1)
+    else:
+        th1, tc1, tg1, th2, tc2, tg2 = adaln(bp["t_adaln"], c, 6, dtype)
     x_pre_t = x
     if attn_cache is not None:
         x = x + attn_cache[1].astype(x.dtype)
@@ -430,6 +441,7 @@ def dit_apply(
     compute_dtype=jnp.bfloat16,
     attn_cache=None,
     collect_cache=False,
+    mods=None,
 ):
     """DiT forward pass (reference model/dit.py:343-376).
 
@@ -442,6 +454,13 @@ def dit_apply(
     collect_cache=True additionally returns the per-block attention residual
     deltas; attn_cache=<that pytree> skips all attention branches and reuses
     the deltas. Not combinable with stream_stacked or block_remat.
+
+    mods: optional conditioning cache from dit_cond (serving acceleration:
+    the adaLN heads carry ~1/3 of the DiT weight bytes for 5 rows of input;
+    rollouts precompute their outputs per frame instead of streaming the
+    weights every denoise step — docs/PERF.md). When given, t/external_cond
+    are ignored (may be None) and params must be in the unstacked serving
+    layout (unstack_for_inference). Bit-exact vs the uncached path.
     """
     B, T, C, H, W = x.shape
     gh, gw = cfg.grid_h, cfg.grid_w
@@ -452,6 +471,37 @@ def dit_apply(
         cfg.patch_size,
         compute_dtype,
     ).reshape(B, T, gh, gw, cfg.hidden_size)
+
+    if mods is not None:
+        if not isinstance(params["blocks"], (list, tuple)):
+            raise ValueError(
+                "dit_apply(mods=...) requires the unstacked serving layout "
+                "(unstack_for_inference)"
+            )
+        spatial_freqs = rope.axial_freqs(
+            jax.lax.stop_gradient(params["spatial_rope_freqs"]), (gh, gw),
+            pixel=True,
+        )
+        temporal_freqs = rope.temporal_rope_freqs(
+            jnp.arange(T), jax.lax.stop_gradient(params["temporal_rope_freqs"])
+        )
+        deltas = []
+        for i, bp in enumerate(params["blocks"]):
+            out = _block_apply(
+                h, None, bp, spatial_freqs, temporal_freqs, cfg.num_heads,
+                valid, compute_dtype,
+                attn_cache=None if attn_cache is None else attn_cache[i],
+                collect=collect_cache,
+                mods=mods["blocks"][i],
+            )
+            if collect_cache:
+                h, d = out
+                deltas.append(d)
+            else:
+                h = out
+        h = _dit_head(params, cfg, h, None, B, T, gh, gw, compute_dtype,
+                      final_mods=mods["final"])
+        return (h, tuple(deltas)) if collect_cache else h
 
     c = timestep_embedder(
         params["t_embedder"], t.reshape(B * T), compute_dtype=compute_dtype
@@ -592,10 +642,14 @@ def dit_apply(
     return _dit_head(params, cfg, h, c, B, T, gh, gw, compute_dtype)
 
 
-def _dit_head(params, cfg, h, c, B, T, gh, gw, compute_dtype):
+def _dit_head(params, cfg, h, c, B, T, gh, gw, compute_dtype,
+              final_mods=None):
     """FinalLayer + unpatchify (reference model/dit.py:126-145, 328-341)."""
     C = cfg.in_channels
-    shift, scale = adaln(params["final"]["adaln"], c, 2, compute_dtype)
+    if final_mods is not None:
+        shift, scale = jnp.split(final_mods, 2, axis=-1)
+    else:
+        shift, scale = adaln(params["final"]["adaln"], c, 2, compute_dtype)
     h = modulate(layer_norm(h), shift, scale)
     h = linear(params["final"]["linear"], h, compute_dtype)
 
@@ -634,6 +688,66 @@ def make_pab_fns(cfg: DiTConfig, compute_dtype=jnp.bfloat16):
         return init_attn_cache(params, cfg, B, T, compute_dtype)
 
     return collect, reuse, init_cache
+
+
+def dit_cond(params, cfg: DiTConfig, t, external_cond=None,
+             compute_dtype=jnp.bfloat16):
+    """Precompute every conditioning-derived tensor of the DiT forward: the
+    per-block spatial/temporal adaLN head outputs plus the FinalLayer adaLN.
+
+    The conditioning path (timestep embed -> +action embed -> SiLU -> 32+1
+    adaLN GEMMs, reference model/dit.py:204-217, 137-139) depends only on
+    (t, external_cond) and is row-wise independent — but its weights are
+    ~1/3 of the DiT's bytes, streamed from HBM for just B*T rows of input on
+    every call. Serving rollouts therefore precompute the outputs for all
+    noise levels of a frame's denoise trajectory ONCE (see
+    gtax.sampling.diffusion.denoise_window cond path) and gather rows per
+    step. Bit-exact vs dit_apply's inline computation: identical adaln/linear
+    calls (row batching does not change per-row GEMM results), including the
+    int8 path's per-row dynamic activation quantization.
+
+    t: (B, T) int32; external_cond: optional (B, T, A).
+    Returns {"blocks": tuple per block of {"s","t"}: (B, T, 6D), "final":
+    (B, T, 2D)} in the compute dtype — ~(12*depth+2)*D floats per row.
+    """
+    if not isinstance(params["blocks"], (list, tuple)):
+        raise ValueError(
+            "dit_cond requires the unstacked serving layout "
+            "(unstack_for_inference)"
+        )
+    B, T = t.shape
+    c = timestep_embedder(
+        params["t_embedder"], t.reshape(B * T), compute_dtype=compute_dtype
+    ).reshape(B, T, cfg.hidden_size)
+    if external_cond is not None:
+        c = c + linear(params["external_cond"], external_cond, compute_dtype)
+    # adaln() = SiLU -> Linear -> split; hoist the (shared) SiLU, keep each
+    # head's unsplit output — _block_apply/_dit_head split at use site
+    h = jax.nn.silu(c.astype(jnp.float32)).astype(compute_dtype)
+    blocks = tuple(
+        {
+            "s": linear(bp["s_adaln"], h, compute_dtype),
+            "t": linear(bp["t_adaln"], h, compute_dtype),
+        }
+        for bp in params["blocks"]
+    )
+    final = linear(params["final"]["adaln"], h, compute_dtype)
+    return {"blocks": blocks, "final": final}
+
+
+def make_cond_fns(cfg: DiTConfig, compute_dtype=jnp.bfloat16):
+    """(cond_fn, apply_fn) for gtax.sampling.diffusion rollouts' `cond=`
+    conditioning cache — cond_fn(params, t, a) -> mods;
+    apply_fn(params, x, mods, valid) -> v."""
+
+    def cond_fn(params, t, a):
+        return dit_cond(params, cfg, t, a, compute_dtype)
+
+    def apply_fn(params, x, mods, valid):
+        return dit_apply(params, cfg, x, None, None, valid,
+                         compute_dtype=compute_dtype, mods=mods)
+
+    return cond_fn, apply_fn
 
 
 def unstack_for_inference(params, cfg: DiTConfig):

@@ -110,7 +110,7 @@ def denoise_step(
 
 def denoise_window(
     dit_fn, x, actions, valid, cfg: SamplerConfig, alphas_cumprod,
-    noise_range, cached=None,
+    noise_range, cached=None, cond=None,
 ):
     """Run the full reversed noise-step scan on one window; returns
     (window with its last frame fully denoised, v-prediction of the final
@@ -119,7 +119,60 @@ def denoise_window(
 
     cached: optional (collect_fn, reuse_fn, cache0) triple enabling
     attention broadcast (SamplerConfig.attn_broadcast). collect_fn(x, t, a,
-    valid) -> (v, cache); reuse_fn(x, t, a, valid, cache) -> v."""
+    valid) -> (v, cache); reuse_fn(x, t, a, valid, cache) -> v.
+
+    cond: optional (cond_fn, apply_fn) pair (params already bound) enabling
+    the CONDITIONING CACHE: per step, t has T-1 constant stabilization rows
+    plus a last row drawn from noise_range — so all adaLN head outputs for
+    the whole scan are precomputed here (one weight stream instead of one
+    per step; the adaLN heads are ~1/3 of DiT bytes) and gathered as scan
+    xs. Bit-exact vs the plain path. cond_fn(t, a) -> mods pytree with rows
+    per (B, T) slot; apply_fn(x, mods, valid) -> v."""
+    if cond is not None and (cached is None or cfg.attn_broadcast <= 1):
+        cond_fn, apply_fn = cond
+        B, T = x.shape[:2]
+        steps = cfg.ddim_noise_steps
+        # rows :-1 of the stabilization-level mods are the per-step constant
+        # context rows (the last row of this call is unused)
+        t_stab = jnp.full((B, T), cfg.stabilization_level, jnp.int32)
+        mods_ctx = cond_fn(t_stab, actions)
+        # last-row mods for every noise index, in scan order (steps -> 0);
+        # computed as one (steps+1)*B row batch — row-wise exact
+        idxs = jnp.arange(steps, -1, -1)
+        S = steps + 1
+        t_last = jnp.broadcast_to(
+            noise_range[idxs].astype(jnp.int32)[:, None, None], (S, B, 1)
+        ).reshape(S * B, 1)
+        if actions is not None:
+            a_last = jnp.broadcast_to(
+                actions[None, :, -1:, :], (S, B, 1, actions.shape[-1])
+            ).reshape(S * B, 1, actions.shape[-1])
+        else:
+            a_last = None
+        mods_last = jax.tree.map(
+            lambda m: m.reshape((S, B) + m.shape[1:]),
+            cond_fn(t_last, a_last),
+        )
+
+        def body(carry, inp):
+            x_win, _ = carry
+            noise_idx, m_last = inp
+            mods = jax.tree.map(
+                lambda w, l: jnp.concatenate([w[:, :-1], l], axis=1),
+                mods_ctx, m_last,
+            )
+            call = lambda xx, tt, aa, vv: apply_fn(xx, mods, vv)  # noqa: E731
+            x_pred, v = denoise_step(
+                call, x_win, actions, valid, noise_idx,
+                cfg.stabilization_level, noise_range, alphas_cumprod,
+            )
+            x_win = jnp.concatenate([x_win[:, :-1], x_pred[:, -1:]], axis=1)
+            return (x_win, v), None
+
+        v0 = jnp.zeros_like(x)
+        (x, v_last), _ = jax.lax.scan(body, (x, v0), (idxs, mods_last))
+        return x, v_last
+
     if cached is not None and cfg.attn_broadcast > 1:
         collect_fn, reuse_fn, cache0 = cached
         K = cfg.attn_broadcast
@@ -173,7 +226,8 @@ def denoise_window(
     return x, v_last
 
 
-def make_rollout(dit_fn, max_frames: int, cfg: SamplerConfig, pab=None):
+def make_rollout(dit_fn, max_frames: int, cfg: SamplerConfig, pab=None,
+                 cond=None):
     """Build a jittable autoregressive rollout.
 
     dit_fn(params, x, t, actions, valid) -> v. Params are threaded through as
@@ -195,6 +249,10 @@ def make_rollout(dit_fn, max_frames: int, cfg: SamplerConfig, pab=None):
     collect_fn(params, x, t, a, valid) -> (v, cache);
     reuse_fn(params, x, t, a, valid, cache) -> v;
     init_cache_fn(params, B, T) -> zero cache pytree.
+
+    cond: optional (cond_fn, apply_fn) pair (gtax.models.dit.make_cond_fns)
+    enabling the bit-exact conditioning cache (see denoise_window); used on
+    the exact path (ignored when attention broadcast is active).
     """
     abar, noise_range = cfg.tables()
     W = max_frames
@@ -253,9 +311,16 @@ def make_rollout(dit_fn, max_frames: int, cfg: SamplerConfig, pab=None):
                 )
             else:
                 cached = None
+            if cond is not None:
+                bound_cond = (
+                    lambda t_, a_: cond[0](params, t_, a_),
+                    lambda x_, m_, v_: cond[1](params, x_, m_, v_),
+                )
+            else:
+                bound_cond = None
             window, _ = denoise_window(
                 bound_dit, window, awin, valid, cfg, abar, noise_range,
-                cached=cached,
+                cached=cached, cond=bound_cond,
             )
             new_frame = window[:, -1]
             ctx_buf = jnp.concatenate([ctx_buf[:, 1:], window[:, -1:]], axis=1)

@@ -175,3 +175,29 @@ def test_quantized_rollout_smoke(random_dit_params):
         params, prompt, actions, jax.random.PRNGKey(0), num_gen_frames=4)
     assert out.shape == (B, 6, C, H, W)
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_quantized_cond_cache_rollout(random_dit_params):
+    """Conditioning cache under int8 W8A8 params: dynamic per-row activation
+    quantization is row-independent, so the cached adaLN outputs match the
+    per-step ones and the rollout agrees with the uncached quantized path."""
+    from gtax.models.dit import make_cond_fns
+    from gtax.sampling import diffusion as sd
+
+    params = quantize_for_inference(
+        unstack_for_inference(random_dit_params, DIT_SMALL), DIT_SMALL)
+
+    def dit_fn(p, x, t, a, v=None):
+        return dit_apply(p, DIT_SMALL, x, t, a, v, compute_dtype=jnp.float32)
+
+    cfg = sd.SamplerConfig(ddim_noise_steps=3, stabilization_level=15)
+    B, C, H, W = 1, DIT_SMALL.in_channels, DIT_SMALL.input_h, DIT_SMALL.input_w
+    prompt = jax.random.normal(jax.random.PRNGKey(5), (B, 2, C, H, W))
+    actions = jax.random.normal(jax.random.PRNGKey(6), (B, 6, 25))
+    plain = sd.make_rollout(dit_fn, 5, cfg)(
+        params, prompt, actions, jax.random.PRNGKey(0), num_gen_frames=4)
+    cond = make_cond_fns(DIT_SMALL, jnp.float32)
+    cached = sd.make_rollout(dit_fn, 5, cfg, cond=cond)(
+        params, prompt, actions, jax.random.PRNGKey(0), num_gen_frames=4)
+    np.testing.assert_allclose(np.asarray(cached), np.asarray(plain),
+                               atol=1e-5, rtol=1e-5)

@@ -199,3 +199,40 @@ def test_attention_broadcast_rollout(dit_small_params):
     assert np.isfinite(np.asarray(k2)).all()
     assert diff > 0.0, "broadcast produced identical output — cache unused?"
     assert diff < 0.25 * scale, f"broadcast drift too large: {diff} vs {scale}"
+
+
+def test_cond_cache_rollout_exact(dit_small_params):
+    """The conditioning cache (make_cond_fns / make_rollout(cond=...)) is
+    bit-exact vs the plain rollout on the same unstacked params: identical
+    adaln/linear math, just batched per-trajectory instead of per-step."""
+    from gtax.models.dit import make_cond_fns, unstack_for_inference
+
+    unstacked = unstack_for_inference(dit_small_params, DIT_SMALL)
+    prompt = jnp.asarray(
+        np.random.default_rng(1).normal(size=(1, 2, 16, 18, 32)) * 0.1,
+        jnp.float32,
+    )  # short prompt: exercises the padded/masked-window path too
+    acts = jnp.asarray(
+        np.random.default_rng(2).normal(size=(1, 8, 25)), jnp.float32
+    )
+    sam = sd.SamplerConfig(ddim_noise_steps=5, stabilization_level=15)
+    plain = sd.make_rollout(dit_fn_p, 5, sam)(
+        unstacked, prompt, acts, jax.random.PRNGKey(7), num_gen_frames=4
+    )
+    cond = make_cond_fns(DIT_SMALL, jnp.float32)
+    cached = sd.make_rollout(dit_fn_p, 5, sam, cond=cond)(
+        unstacked, prompt, acts, jax.random.PRNGKey(7), num_gen_frames=4
+    )
+    np.testing.assert_allclose(
+        np.asarray(cached), np.asarray(plain), atol=1e-5, rtol=1e-5
+    )
+    # no-actions model path
+    plain_na = sd.make_rollout(dit_fn_p, 5, sam)(
+        unstacked, prompt, None, jax.random.PRNGKey(7), num_gen_frames=4
+    )
+    cached_na = sd.make_rollout(dit_fn_p, 5, sam, cond=cond)(
+        unstacked, prompt, None, jax.random.PRNGKey(7), num_gen_frames=4
+    )
+    np.testing.assert_allclose(
+        np.asarray(cached_na), np.asarray(plain_na), atol=1e-5, rtol=1e-5
+    )
