@@ -102,6 +102,7 @@ def main():
         )
     else:
         cond = None
+        incremental = None
         if (broadcast == 1
                 and os.environ.get("GTAX_BENCH_UNSTACK", "1") == "1"
                 and os.environ.get("GTAX_BENCH_CONDCACHE", "1") == "1"):
@@ -111,8 +112,17 @@ def main():
             from gtax.models.dit import make_cond_fns
 
             cond = make_cond_fns(dit_cfg, dtype)
+            if (os.environ.get("GTAX_BENCH_INCREMENTAL", "1") == "1"
+                    and backend in ("fused", "fused_all")):
+                # incremental decoding: context rows are step-invariant, so
+                # prefill their per-block temporal K/V once per frame and
+                # compute only the last frame per denoise step (~1/T of the
+                # FLOPs; reference-exact semantics, docs/PERF.md)
+                from gtax.models.dit import make_incremental_fns
+
+                incremental = make_incremental_fns(dit_cfg, dtype)
         rollout = make_rollout(dit_fn, dit_cfg.max_frames, sampler, pab=pab,
-                               cond=cond)
+                               cond=cond, incremental=incremental)
 
     n_prompt = 4
     video = jax.random.uniform(
@@ -189,20 +199,23 @@ def main():
         # rollout); carry the exact-bf16 and fastest quality-validated
         # approximate modes (measured on the same chip; docs/PERF.md)
         result["exact_bf16_mode"] = {
-            "fps": 2.22,
+            "fps": 4.98,
             "config": "GTAX_BENCH_QUANT=none",
-            "quality": "bit-equivalent to the xla semantics path; "
-                       "93.97 dB min vs torch fp32 at full size "
-                       "(tests/golden_full/parity_gate_result.json)",
+            "quality": "reference-exact sampling, bf16 compute (93.97 dB "
+                       "min vs torch fp32 at full size, "
+                       "tests/golden_full/parity_gate_result.json; "
+                       "incremental decoding gated at "
+                       "parity_gate_int8_incremental.json)",
         }
         result["fast_mode"] = {
             "fps": 11.16,
             "config": "GTAX_BENCH_QUANT=int8 GTAX_BENCH_PIPELINE=4 "
                       "GTAX_BENCH_BROADCAST=2",
             "vs_baseline": 11.39,
-            "quality": "causality probe 8/8; 22.6/36.6 dB min/mean PSNR "
-                       "vs exact (docs/quant_quality.json); full-size "
-                       "trajectory check docs/fullsize_depth_quality.json",
+            "quality": "approximate sampling (causality probe 8/8; "
+                       "22.6/36.6 dB min/mean PSNR vs exact, "
+                       "docs/quant_quality.json); the default incremental "
+                       "mode reaches 8.86 f/s with EXACT sampling",
         }
     print(json.dumps(result))
     return result

@@ -76,6 +76,11 @@ def build_parser():
                    help="int8 = W8A8 serving quantization of the DiT block "
                         "GEMMs (2x MXU rate on v5e, ~lossless PSNR; "
                         "docs/PERF.md)")
+    p.add_argument("--no_incremental", action="store_true",
+                   help="disable incremental decoding (per-frame context "
+                        "prefill + last-frame-only denoise steps over a "
+                        "temporal K/V cache; reference-exact semantics, on "
+                        "by default with the fused backends)")
     p.add_argument("--no_cond_cache", action="store_true",
                    help="disable the per-frame conditioning cache (bit-exact "
                         "adaLN precompute; on by default with the unstacked "
@@ -228,13 +233,19 @@ def main(argv=None):
         )
     else:
         cond = None
+        incremental = None
         if (args.attn_broadcast == 1 and not args.no_unstack
                 and not args.no_cond_cache and mesh is None):
             from gtax.models.dit import make_cond_fns
 
             cond = make_cond_fns(dit_cfg, dtype)
+            if not args.no_incremental and args.attention_backend in (
+                    "fused", "fused_all"):
+                from gtax.models.dit import make_incremental_fns
+
+                incremental = make_incremental_fns(dit_cfg, dtype)
         rollout = make_rollout(dit_fn, dit_cfg.max_frames, sampler, pab=pab,
-                               cond=cond)
+                               cond=cond, incremental=incremental)
 
     t0 = time.perf_counter()
     lat = rollout(dit_params, latents, actions, rng,

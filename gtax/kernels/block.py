@@ -139,8 +139,8 @@ def _kernel(x_ref, shift_ref, scale_ref, gate_ref, qkvw_ref, outw_ref,
 
 def _temporal_kernel(x_ref, shift_ref, scale_ref, gate_ref, qkvw_ref,
                      outw_ref, outb_ref, cos_ref, sin_ref, rotf_ref, seg_ref,
-                     bias_ref, o_ref, *, num_heads, n_frames, n_batches,
-                     seq_len, ln_eps, mod_eps):
+                     bias_ref, o_ref, k_ref=None, v_ref=None, *, num_heads,
+                     n_frames, n_batches, seq_len, ln_eps, mod_eps):
     """Fused temporal (causal) attention branch.
 
     Token-major (N*S, D) rows are FRAME-CONTIGUOUS, so attention over frames
@@ -164,6 +164,7 @@ def _temporal_kernel(x_ref, shift_ref, scale_ref, gate_ref, qkvw_ref,
     attn_out = _temporal_attention_core(
         q, k, v, cos_ref[:], sin_ref[:], rotf_ref[:], seg_ref[:], bias_ref,
         x.dtype, num_heads, n_frames, n_batches, seq_len,
+        kv_out=None if k_ref is None else (k_ref, v_ref),
     ).astype(x.dtype)
 
     y = jnp.dot(attn_out, outw_ref[:], preferred_element_type=jnp.float32)
@@ -173,12 +174,19 @@ def _temporal_kernel(x_ref, shift_ref, scale_ref, gate_ref, qkvw_ref,
 
 
 def _temporal_attention_core(q, k, v, cos, sin, Rf, seg, bias_ref, dtype,
-                             num_heads, n_frames, n_batches, seq_len):
+                             num_heads, n_frames, n_batches, seq_len,
+                             kv_out=None):
     """Causal frame-pair attention over fp32 qkv (N*S, D) slabs: full-width
     rope over the frame axis (rotate_half via the block-diagonal signed
     permutation Rf), then segment-sum scores per causal (i, j) frame pair —
     token-major rows are frame-contiguous so no relayout is needed. Returns
-    fp32 (N*S, D). Shared by the bf16 and int8 kernels."""
+    fp32 (N*S, D). Shared by the bf16 and int8 kernels.
+
+    kv_out: optional (k_ref, v_ref) output refs — the post-rope K and cast V
+    are ALSO written out, feeding the incremental-decoding context cache
+    (gtax.models.dit.dit_prefill): context rows are step-invariant during a
+    frame's denoise scan, so later steps reuse these instead of recomputing
+    the whole window."""
     S = seq_len
     T = n_frames
     D = q.shape[-1]
@@ -188,6 +196,9 @@ def _temporal_attention_core(q, k, v, cos, sin, Rf, seg, bias_ref, dtype,
     q = q.astype(dtype)
     k = k.astype(dtype)
     v = v.astype(dtype)
+    if kv_out is not None:
+        kv_out[0][:] = k
+        kv_out[1][:] = v
 
     scale_attn = 1.0 / (d**0.5)
     out_rows = []
@@ -229,6 +240,128 @@ def _temporal_attention_core(q, k, v, cos, sin, Rf, seg, bias_ref, dtype,
     return jnp.concatenate(out_rows, axis=0).astype(jnp.float32)
 
 
+def _temporal_step_core(q, k, v, kctx, vctx, cos, sin, Rf, seg, bias_ref,
+                        dtype, num_heads, n_ctx, n_batches, seq_len):
+    """LAST-SLOT causal attention against cached context K/V (incremental
+    decoding): q/k/v are the last frame's rows (rope applied here at slot
+    position n_ctx); kctx/vctx are the post-rope context rows emitted by the
+    full kernel's kv_out during prefill. Same segment-sum score math, per-row
+    identical to the full core's last-slot output. bias_ref: the (T, T)
+    additive mask — row n_ctx is the last slot's key mask."""
+    S = seq_len
+    D = q.shape[-1]
+    d = D // num_heads
+    q = q * cos + jnp.dot(q, Rf, preferred_element_type=jnp.float32) * sin
+    k = k * cos + jnp.dot(k, Rf, preferred_element_type=jnp.float32) * sin
+    q = q.astype(dtype)
+    k = k.astype(dtype)
+    v = v.astype(dtype)
+    scale_attn = 1.0 / (d**0.5)
+    out_rows = []
+    for b in range(n_batches):
+        rows = slice(b * S, (b + 1) * S)
+        qb, kb, vb = q[rows], k[rows], v[rows]
+
+        def ctx_frame(j, arr, b=b):
+            base = b * n_ctx * S
+            return arr[base + j * S: base + (j + 1) * S]
+
+        scores = [
+            jnp.dot(
+                (qb * ctx_frame(j, kctx)).astype(dtype), seg,
+                preferred_element_type=jnp.float32,
+            ) * scale_attn + bias_ref[n_ctx, j]
+            for j in range(n_ctx)
+        ]
+        scores.append(
+            jnp.dot(
+                (qb * kb).astype(dtype), seg,
+                preferred_element_type=jnp.float32,
+            ) * scale_attn + bias_ref[n_ctx, n_ctx]
+        )
+        m = scores[0]
+        for s_ij in scores[1:]:
+            m = jnp.maximum(m, s_ij)
+        exps = [jnp.exp(s_ij - m) for s_ij in scores]
+        denom = exps[0]
+        for e in exps[1:]:
+            denom = denom + e
+        acc = None
+        for j, e in enumerate(exps):
+            probs = (e / denom).astype(dtype)
+            pexp = jnp.dot(
+                probs, seg.T, preferred_element_type=jnp.float32
+            ).astype(dtype)
+            term = pexp * (ctx_frame(j, vctx) if j < n_ctx else vb)
+            acc = term if acc is None else acc + term
+        out_rows.append(acc)
+    out = out_rows[0] if n_batches == 1 else jnp.concatenate(out_rows, axis=0)
+    return out.astype(jnp.float32)
+
+
+def _temporal_step_kernel(x_ref, shift_ref, scale_ref, gate_ref, qkvw_ref,
+                          outw_ref, outb_ref, kctx_ref, vctx_ref, cos_ref,
+                          sin_ref, rotf_ref, seg_ref, bias_ref, o_ref, *,
+                          num_heads, n_ctx, n_batches, seq_len, ln_eps,
+                          mod_eps):
+    """Fused incremental temporal branch (bf16): the last frame's rows only,
+    attending to cached context K/V."""
+    x = x_ref[:]
+    NS, D = x.shape
+    x32, mod32 = _ln_modulate32(x_ref, shift_ref, scale_ref, ln_eps, mod_eps)
+    mod = mod32.astype(x.dtype)
+    qkv = jnp.dot(mod, qkvw_ref[:], preferred_element_type=jnp.float32)
+    q, k, v = qkv[:, :D], qkv[:, D:2 * D], qkv[:, 2 * D:]
+    attn_out = _temporal_step_core(
+        q, k, v, kctx_ref[:], vctx_ref[:], cos_ref[:], sin_ref[:],
+        rotf_ref[:], seg_ref[:], bias_ref, x.dtype, num_heads, n_ctx,
+        n_batches, seq_len,
+    ).astype(x.dtype)
+    y = jnp.dot(attn_out, outw_ref[:], preferred_element_type=jnp.float32)
+    y = y + outb_ref[0].astype(jnp.float32)
+    g = gate_ref[:].astype(jnp.float32)
+    o_ref[:] = (x32 + g * y).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "n_ctx"))
+def fused_temporal_step(x, shift, scale, gate, qkv_w, out_w, out_b, k_ctx,
+                        v_ctx, rope_freqs, valid, num_heads, n_ctx):
+    """Incremental temporal branch: x (B, S, D) = last-frame tokens;
+    k_ctx/v_ctx (B*n_ctx*S, D) post-rope cache (fused_temporal_branch
+    emit_kv=True); rope_freqs (T, d) with T = n_ctx + 1; valid (T,) or None.
+    Returns x + gate * CausalAttention_lastslot(modulate(LN(x)))."""
+    B, S, D = x.shape
+    T = n_ctx + 1
+    d = D // num_heads
+    _, _, Rf, seg, bias = temporal_preamble(
+        rope_freqs, valid, B, S, T, num_heads, d, x.dtype
+    )
+    cos_t = jnp.cos(rope_freqs.astype(jnp.float32))
+    sin_t = jnp.sin(rope_freqs.astype(jnp.float32))
+    cos = jnp.tile(jnp.repeat(cos_t[T - 1:T], S, axis=0), (B, num_heads))
+    sin = jnp.tile(jnp.repeat(sin_t[T - 1:T], S, axis=0), (B, num_heads))
+    xf = x.reshape(B * S, D)
+    expand = lambda vv: jnp.repeat(vv, S, axis=0)  # noqa: E731
+    shift, scale, gate = expand(shift), expand(scale), expand(gate)
+    out_b = out_b.reshape(1, -1)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(
+            _temporal_step_kernel, num_heads=num_heads, n_ctx=n_ctx,
+            n_batches=B, seq_len=S, ln_eps=1e-6, mod_eps=1e-6,
+        ),
+        out_shape=jax.ShapeDtypeStruct(xf.shape, x.dtype),
+        in_specs=[full] * 13 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=full,
+        interpret=interpret_mode(),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+    )(xf, shift, scale, gate, qkv_w, out_w, out_b, k_ctx, v_ctx, cos, sin,
+      Rf, seg, bias)
+    return out.reshape(B, S, D)
+
+
 def temporal_preamble(rope_freqs, valid, B, S, T, num_heads, d, dtype):
     """Shared inputs for every fused temporal-attention variant: per-row rope
     cos/sin tables tiled over tokens and heads, the block-diagonal
@@ -258,12 +391,18 @@ def temporal_preamble(rope_freqs, valid, B, S, T, num_heads, d, dtype):
     return cos, sin, Rf, seg, bias
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "n_frames"))
+@functools.partial(jax.jit,
+                   static_argnames=("num_heads", "n_frames", "emit_kv"))
 def fused_temporal_branch(x, shift, scale, gate, qkv_w, out_w, out_b,
-                          rope_freqs, valid, num_heads, n_frames):
+                          rope_freqs, valid, num_heads, n_frames,
+                          emit_kv=False):
     """x: (N=B*T, S, D) frame-major token tiles; shift/scale/gate: (N, D);
     rope_freqs: (T, rot) temporal table; valid: (T,) bool or None.
-    Returns x + gate * TemporalCausalAttention(modulate(LN(x)))."""
+    Returns x + gate * TemporalCausalAttention(modulate(LN(x))).
+
+    emit_kv=True additionally returns the post-rope (k, v) rows (N, S, D) —
+    the context cache consumed by fused_temporal_step (incremental
+    decoding)."""
     N, S, D = x.shape
     T = n_frames
     B = N // T
@@ -285,12 +424,13 @@ def fused_temporal_branch(x, shift, scale, gate, qkv_w, out_w, out_b,
     row_spec = pl.BlockSpec((tile_rows, D), lambda c: (c, 0),
                             memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    one = jax.ShapeDtypeStruct(xf.shape, x.dtype)
     out = pl.pallas_call(
         functools.partial(
             _temporal_kernel, num_heads=num_heads, n_frames=T,
             n_batches=b_pt, seq_len=S, ln_eps=1e-6, mod_eps=1e-6,
         ),
-        out_shape=jax.ShapeDtypeStruct(xf.shape, x.dtype),
+        out_shape=(one, one, one) if emit_kv else one,
         grid=(n_tiles,),
         in_specs=[
             row_spec, row_spec, row_spec, row_spec,  # x, shift, scale, gate
@@ -299,10 +439,13 @@ def fused_temporal_branch(x, shift, scale, gate, qkv_w, out_w, out_b,
             full, full,                              # Rf, seg
             pl.BlockSpec(memory_space=pltpu.SMEM),   # bias (T, T)
         ],
-        out_specs=row_spec,
+        out_specs=(row_spec, row_spec, row_spec) if emit_kv else row_spec,
         interpret=interpret_mode(),
         compiler_params=_BRANCH_PARAMS,
     )(xf, shift, scale, gate, qkv_w, out_w, out_b, cos, sin, Rf, seg, bias)
+    if emit_kv:
+        o, kk, vv = out
+        return (o.reshape(N, S, D), kk.reshape(N, S, D), vv.reshape(N, S, D))
     return out.reshape(N, S, D)
 
 

@@ -103,11 +103,12 @@ def _spatial_kernel_q(x_ref, shift_ref, scale_ref, gate_ref, qkvq_ref,
 
 def _temporal_kernel_q(x_ref, shift_ref, scale_ref, gate_ref, qkvq_ref,
                        qkvs_ref, outq_ref, outs_ref, outb_ref, cos_ref,
-                       sin_ref, rotf_ref, seg_ref, bias_ref, o_ref, *,
-                       num_heads, n_frames, n_batches, seq_len, ln_eps,
-                       mod_eps):
+                       sin_ref, rotf_ref, seg_ref, bias_ref, o_ref,
+                       k_ref=None, v_ref=None, *, num_heads, n_frames,
+                       n_batches, seq_len, ln_eps, mod_eps):
     """W8A8 twin of gtax.kernels.block._temporal_kernel (shared attention
-    core; int8 qkv/out GEMMs)."""
+    core; int8 qkv/out GEMMs). k_ref/v_ref: optional post-rope K/V outputs
+    (prefill for incremental decoding)."""
     x = x_ref[:]
     NS, D = x.shape
 
@@ -118,12 +119,77 @@ def _temporal_kernel_q(x_ref, shift_ref, scale_ref, gate_ref, qkvq_ref,
     attn_out = _temporal_attention_core(
         q, k, v, cos_ref[:], sin_ref[:], rotf_ref[:], seg_ref[:], bias_ref,
         x.dtype, num_heads, n_frames, n_batches, seq_len,
+        kv_out=None if k_ref is None else (k_ref, v_ref),
     )
 
     y = _qdot(attn_out, outq_ref, outs_ref)
     y = y + outb_ref[0].astype(jnp.float32)
     g = gate_ref[:].astype(jnp.float32)
     o_ref[:] = (x32 + g * y).astype(o_ref.dtype)
+
+
+def _temporal_step_kernel_q(x_ref, shift_ref, scale_ref, gate_ref, qkvq_ref,
+                            qkvs_ref, outq_ref, outs_ref, outb_ref, kctx_ref,
+                            vctx_ref, cos_ref, sin_ref, rotf_ref, seg_ref,
+                            bias_ref, o_ref, *, num_heads, n_ctx, n_batches,
+                            seq_len, ln_eps, mod_eps):
+    """W8A8 twin of gtax.kernels.block._temporal_step_kernel (incremental
+    decoding: last-frame rows against cached context K/V)."""
+    from gtax.kernels.block import _temporal_step_core
+
+    x = x_ref[:]
+    NS, D = x.shape
+    x32, mod = _ln_modulate32(x_ref, shift_ref, scale_ref, ln_eps, mod_eps)
+    qkv = _qdot(mod, qkvq_ref, qkvs_ref)
+    q, k, v = qkv[:, :D], qkv[:, D:2 * D], qkv[:, 2 * D:]
+    attn_out = _temporal_step_core(
+        q, k, v, kctx_ref[:], vctx_ref[:], cos_ref[:], sin_ref[:],
+        rotf_ref[:], seg_ref[:], bias_ref, x.dtype, num_heads, n_ctx,
+        n_batches, seq_len,
+    )
+    y = _qdot(attn_out, outq_ref, outs_ref)
+    y = y + outb_ref[0].astype(jnp.float32)
+    g = gate_ref[:].astype(jnp.float32)
+    o_ref[:] = (x32 + g * y).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "n_ctx"))
+def fused_temporal_step_q(x, shift, scale, gate, qkv_q, qkv_s, out_q, out_s,
+                          out_b, k_ctx, v_ctx, rope_freqs, valid, num_heads,
+                          n_ctx):
+    """int8 twin of gtax.kernels.block.fused_temporal_step."""
+    from gtax.kernels.block import temporal_preamble as _preamble
+
+    B, S, D = x.shape
+    T = n_ctx + 1
+    d = D // num_heads
+    _, _, Rf, seg, bias = _preamble(
+        rope_freqs, valid, B, S, T, num_heads, d, x.dtype
+    )
+    cos_t = jnp.cos(rope_freqs.astype(jnp.float32))
+    sin_t = jnp.sin(rope_freqs.astype(jnp.float32))
+    cos = jnp.tile(jnp.repeat(cos_t[T - 1:T], S, axis=0), (B, num_heads))
+    sin = jnp.tile(jnp.repeat(sin_t[T - 1:T], S, axis=0), (B, num_heads))
+    xf = x.reshape(B * S, D)
+    expand = lambda vv: jnp.repeat(vv, S, axis=0)  # noqa: E731
+    shift, scale, gate = expand(shift), expand(scale), expand(gate)
+    out_b = out_b.reshape(1, -1)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(
+            _temporal_step_kernel_q, num_heads=num_heads, n_ctx=n_ctx,
+            n_batches=B, seq_len=S, ln_eps=1e-6, mod_eps=1e-6,
+        ),
+        out_shape=jax.ShapeDtypeStruct(xf.shape, x.dtype),
+        in_specs=[full] * 15 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=full,
+        interpret=interpret_mode(),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+    )(xf, shift, scale, gate, qkv_q, qkv_s.reshape(1, -1), out_q,
+      out_s.reshape(1, -1), out_b, k_ctx, v_ctx, cos, sin, Rf, seg, bias)
+    return out.reshape(B, S, D)
 
 
 def _mlp_kernel_q(x_ref, shift_ref, scale_ref, gate_ref, w1q_ref, w1s_ref,
@@ -187,11 +253,13 @@ def fused_spatial_branch_q(x, shift, scale, gate, qkv_q, qkv_s, out_q, out_s,
     return out.reshape(N, S, D)
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "n_frames"))
+@functools.partial(jax.jit,
+                   static_argnames=("num_heads", "n_frames", "emit_kv"))
 def fused_temporal_branch_q(x, shift, scale, gate, qkv_q, qkv_s, out_q,
                             out_s, out_b, rope_freqs, valid, num_heads,
-                            n_frames):
-    """int8 twin of gtax.kernels.block.fused_temporal_branch."""
+                            n_frames, emit_kv=False):
+    """int8 twin of gtax.kernels.block.fused_temporal_branch (emit_kv=True
+    additionally returns the post-rope (k, v) context cache)."""
     N, S, D = x.shape
     T = n_frames
     B = N // T
@@ -210,12 +278,13 @@ def fused_temporal_branch_q(x, shift, scale, gate, qkv_q, qkv_s, out_q,
     row_spec = pl.BlockSpec((tile_rows, D), lambda c: (c, 0),
                             memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    one = jax.ShapeDtypeStruct(xf.shape, x.dtype)
     out = pl.pallas_call(
         functools.partial(
             _temporal_kernel_q, num_heads=num_heads, n_frames=T,
             n_batches=b_pt, seq_len=S, ln_eps=1e-6, mod_eps=1e-6,
         ),
-        out_shape=jax.ShapeDtypeStruct(xf.shape, x.dtype),
+        out_shape=(one, one, one) if emit_kv else one,
         grid=(n_tiles,),
         in_specs=[
             row_spec, row_spec, row_spec, row_spec,  # x, shift, scale, gate
@@ -224,11 +293,14 @@ def fused_temporal_branch_q(x, shift, scale, gate, qkv_q, qkv_s, out_q,
             full, full,                              # Rf, seg
             pl.BlockSpec(memory_space=pltpu.SMEM),   # bias (T, T)
         ],
-        out_specs=row_spec,
+        out_specs=(row_spec, row_spec, row_spec) if emit_kv else row_spec,
         interpret=interpret_mode(),
         compiler_params=_BRANCH_PARAMS,
     )(xf, shift, scale, gate, qkv_q, qkv_s.reshape(1, -1), out_q,
       out_s.reshape(1, -1), out_b, cos, sin, Rf, seg, bias)
+    if emit_kv:
+        o, kk, vv = out
+        return (o.reshape(N, S, D), kk.reshape(N, S, D), vv.reshape(N, S, D))
     return out.reshape(N, S, D)
 
 

@@ -750,6 +750,196 @@ def make_cond_fns(cfg: DiTConfig, compute_dtype=jnp.bfloat16):
     return cond_fn, apply_fn
 
 
+# ------------------------------------------------- incremental decoding
+#
+# On the exact sampling path only the window's LAST frame changes between
+# denoise steps: context rows' activations are step-invariant at every block
+# (spatial attention is per-frame, temporal attention is causal, everything
+# else is row-wise; their conditioning is pinned at the stabilization level).
+# So a rollout can PREFILL the context once per generated frame — running the
+# blocks over the T-1 context rows and caching each block's post-rope
+# temporal K/V — and then per denoise step compute ONLY the last frame
+# through the stack (~1/T of the FLOPs), its temporal attention reading the
+# cached K/V. The reference semantics are preserved exactly; this is the
+# KV-cache idea adapted to diffusion-forcing windows (reference rollout:
+# generate.py:200-235 recomputes the full window every step).
+
+
+def _spatial_branch_call(ap, h, sh, sc, g, freqs, num_heads, dtype):
+    """One fused spatial-attention branch over (N, S, D) rows (quant-aware)."""
+    if "kernel_q" in ap["qkv"]:
+        from gtax.kernels.quant import fused_spatial_branch_q
+
+        return fused_spatial_branch_q(
+            h, sh, sc, g, ap["qkv"]["kernel_q"], ap["qkv"]["scale"],
+            ap["out"]["kernel_q"], ap["out"]["scale"], ap["out"]["bias"],
+            freqs, num_heads,
+        )
+    from gtax.kernels.block import fused_spatial_branch
+
+    return fused_spatial_branch(
+        h, sh, sc, g, ap["qkv"]["kernel"].astype(dtype),
+        ap["out"]["kernel"].astype(dtype), ap["out"]["bias"], freqs,
+        num_heads,
+    )
+
+
+def _mlp_branch_call(mp, h, sh, sc, g, dtype):
+    """One fused MLP branch over (N, S, D) rows (quant-aware)."""
+    if "kernel_q" in mp["fc1"]:
+        from gtax.kernels.quant import fused_mlp_branch_q
+
+        return fused_mlp_branch_q(
+            h, sh, sc, g, mp["fc1"]["kernel_q"], mp["fc1"]["scale"],
+            mp["fc1"]["bias"], mp["fc2"]["kernel_q"], mp["fc2"]["scale"],
+            mp["fc2"]["bias"],
+        )
+    from gtax.kernels.block import fused_mlp_branch
+
+    return fused_mlp_branch(
+        h, sh, sc, g, mp["fc1"]["kernel"].astype(dtype), mp["fc1"]["bias"],
+        mp["fc2"]["kernel"].astype(dtype), mp["fc2"]["bias"],
+    )
+
+
+def _split6(m, rows, D):
+    return [a.reshape(rows, D) for a in jnp.split(m, 6, axis=-1)]
+
+
+def dit_prefill(params, cfg: DiTConfig, x_ctx, mods, valid_ctx,
+                compute_dtype=jnp.bfloat16):
+    """Context prefill for incremental decoding: run the blocks over the T-1
+    context rows only and return each block's post-rope temporal (K, V)
+    rows — exactly what the full-window forward computes for those rows
+    (same kernels; the temporal kernel's emit_kv output).
+
+    x_ctx: (B, Tc, C, H, W); mods: dit_cond output for the Tc context rows;
+    valid_ctx: (Tc,) bool or None. Returns a tuple per block of
+    (k, v): (B*Tc*S, D) in the compute dtype. Requires the unstacked layout
+    and the fused/int8 kernels (inference-only)."""
+    B, Tc, C, H, W = x_ctx.shape
+    gh, gw = cfg.grid_h, cfg.grid_w
+    S = gh * gw
+    D = cfg.hidden_size
+    h = patchify_embed(
+        params["patch_embed"], x_ctx.reshape(B * Tc, C, H, W),
+        cfg.patch_size, compute_dtype,
+    ).reshape(B * Tc, S, D)
+    spatial_freqs = rope.axial_freqs(
+        jax.lax.stop_gradient(params["spatial_rope_freqs"]), (gh, gw),
+        pixel=True,
+    ).reshape(S, -1)
+    # context rows occupy window slots 0..Tc-1: the first Tc rows of the
+    # full-window rope table
+    temporal_freqs = rope.temporal_rope_freqs(
+        jnp.arange(Tc), jax.lax.stop_gradient(params["temporal_rope_freqs"])
+    )
+    kv = []
+    rows = B * Tc
+    for i, bp in enumerate(params["blocks"]):
+        m = mods["blocks"][i]
+        sh1, sc1, g1, sh2, sc2, g2 = _split6(m["s"], rows, D)
+        th1, tc1, tg1, th2, tc2, tg2 = _split6(m["t"], rows, D)
+        h = _spatial_branch_call(bp["s_attn"], h, sh1, sc1, g1,
+                                 spatial_freqs, cfg.num_heads, compute_dtype)
+        h = _mlp_branch_call(bp["s_mlp"], h, sh2, sc2, g2, compute_dtype)
+        ap = bp["t_attn"]
+        if "kernel_q" in ap["qkv"]:
+            from gtax.kernels.quant import fused_temporal_branch_q
+
+            h, kk, vv = fused_temporal_branch_q(
+                h, th1, tc1, tg1, ap["qkv"]["kernel_q"], ap["qkv"]["scale"],
+                ap["out"]["kernel_q"], ap["out"]["scale"], ap["out"]["bias"],
+                temporal_freqs, valid_ctx, cfg.num_heads, Tc, emit_kv=True,
+            )
+        else:
+            from gtax.kernels.block import fused_temporal_branch
+
+            h, kk, vv = fused_temporal_branch(
+                h, th1, tc1, tg1, ap["qkv"]["kernel"].astype(compute_dtype),
+                ap["out"]["kernel"].astype(compute_dtype), ap["out"]["bias"],
+                temporal_freqs, valid_ctx, cfg.num_heads, Tc, emit_kv=True,
+            )
+        kv.append((kk.reshape(B * Tc * S, D), vv.reshape(B * Tc * S, D)))
+        h = _mlp_branch_call(bp["t_mlp"], h, th2, tc2, tg2, compute_dtype)
+    return tuple(kv)
+
+
+def dit_apply_step(params, cfg: DiTConfig, x_last, kv_cache, mods, valid,
+                   compute_dtype=jnp.bfloat16):
+    """Incremental DiT forward: ONLY the window's last frame through the
+    stack, temporal attention reading the prefilled context K/V.
+
+    x_last: (B, 1, C, H, W); kv_cache: dit_prefill output; mods: dit_cond
+    output for the last row ((B, 1, ...) leaves); valid: (T,) bool or None
+    (full-window mask; the last slot is always valid).
+    Returns the v-prediction for the last frame, (B, 1, C, H, W) float32 —
+    per-row identical to dit_apply's last-frame output."""
+    B = x_last.shape[0]
+    C, H, W = x_last.shape[2:]
+    gh, gw = cfg.grid_h, cfg.grid_w
+    S = gh * gw
+    D = cfg.hidden_size
+    T = cfg.max_frames
+    h = patchify_embed(
+        params["patch_embed"], x_last.reshape(B, C, H, W), cfg.patch_size,
+        compute_dtype,
+    ).reshape(B, S, D)
+    spatial_freqs = rope.axial_freqs(
+        jax.lax.stop_gradient(params["spatial_rope_freqs"]), (gh, gw),
+        pixel=True,
+    ).reshape(S, -1)
+    temporal_freqs = rope.temporal_rope_freqs(
+        jnp.arange(T), jax.lax.stop_gradient(params["temporal_rope_freqs"])
+    )
+    for i, bp in enumerate(params["blocks"]):
+        m = mods["blocks"][i]
+        sh1, sc1, g1, sh2, sc2, g2 = _split6(m["s"], B, D)
+        th1, tc1, tg1, th2, tc2, tg2 = _split6(m["t"], B, D)
+        h = _spatial_branch_call(bp["s_attn"], h, sh1, sc1, g1,
+                                 spatial_freqs, cfg.num_heads, compute_dtype)
+        h = _mlp_branch_call(bp["s_mlp"], h, sh2, sc2, g2, compute_dtype)
+        ap = bp["t_attn"]
+        k_ctx, v_ctx = kv_cache[i]
+        if "kernel_q" in ap["qkv"]:
+            from gtax.kernels.quant import fused_temporal_step_q
+
+            h = fused_temporal_step_q(
+                h, th1, tc1, tg1, ap["qkv"]["kernel_q"], ap["qkv"]["scale"],
+                ap["out"]["kernel_q"], ap["out"]["scale"], ap["out"]["bias"],
+                k_ctx, v_ctx, temporal_freqs, valid, cfg.num_heads, T - 1,
+            )
+        else:
+            from gtax.kernels.block import fused_temporal_step
+
+            h = fused_temporal_step(
+                h, th1, tc1, tg1, ap["qkv"]["kernel"].astype(compute_dtype),
+                ap["out"]["kernel"].astype(compute_dtype), ap["out"]["bias"],
+                k_ctx, v_ctx, temporal_freqs, valid, cfg.num_heads, T - 1,
+            )
+        h = _mlp_branch_call(bp["t_mlp"], h, th2, tc2, tg2, compute_dtype)
+    h = h.reshape(B, 1, gh, gw, D)
+    return _dit_head(params, cfg, h, None, B, 1, gh, gw, compute_dtype,
+                     final_mods=mods["final"])
+
+
+def make_incremental_fns(cfg: DiTConfig, compute_dtype=jnp.bfloat16):
+    """(prefill_fn, step_fn) for gtax.sampling.diffusion rollouts'
+    `incremental=` mode (requires `cond=` too) —
+    prefill_fn(params, x_ctx, mods_ctx, valid_ctx) -> kv_cache;
+    step_fn(params, x_last, kv_cache, mods_last, valid) -> v_last."""
+
+    def prefill_fn(params, x_ctx, mods_ctx, valid_ctx):
+        return dit_prefill(params, cfg, x_ctx, mods_ctx, valid_ctx,
+                           compute_dtype)
+
+    def step_fn(params, x_last, kv_cache, mods_last, valid):
+        return dit_apply_step(params, cfg, x_last, kv_cache, mods_last,
+                              valid, compute_dtype)
+
+    return prefill_fn, step_fn
+
+
 def unstack_for_inference(params, cfg: DiTConfig):
     """Convert the stacked `blocks` pytree into a tuple of per-block pytrees.
 

@@ -110,7 +110,7 @@ def denoise_step(
 
 def denoise_window(
     dit_fn, x, actions, valid, cfg: SamplerConfig, alphas_cumprod,
-    noise_range, cached=None, cond=None,
+    noise_range, cached=None, cond=None, incremental=None,
 ):
     """Run the full reversed noise-step scan on one window; returns
     (window with its last frame fully denoised, v-prediction of the final
@@ -127,7 +127,13 @@ def denoise_window(
     the whole scan are precomputed here (one weight stream instead of one
     per step; the adaLN heads are ~1/3 of DiT bytes) and gathered as scan
     xs. Bit-exact vs the plain path. cond_fn(t, a) -> mods pytree with rows
-    per (B, T) slot; apply_fn(x, mods, valid) -> v."""
+    per (B, T) slot; apply_fn(x, mods, valid) -> v.
+
+    incremental: optional (prefill_fn, step_fn) pair (params bound; requires
+    cond) enabling INCREMENTAL DECODING: only the last frame changes across
+    the scan, so the context rows are prefilled once (per-block temporal K/V
+    cache) and each step computes just the last frame (~1/T of the FLOPs) —
+    gtax.models.dit.make_incremental_fns. Reference-exact semantics."""
     if cond is not None and (cached is None or cfg.attn_broadcast <= 1):
         cond_fn, apply_fn = cond
         B, T = x.shape[:2]
@@ -153,6 +159,44 @@ def denoise_window(
             lambda m: m.reshape((S, B) + m.shape[1:]),
             cond_fn(t_last, a_last),
         )
+
+        if incremental is not None:
+            prefill_fn, step_fn = incremental
+            mods_ctx_rows = jax.tree.map(lambda m: m[:, :-1], mods_ctx)
+            valid_ctx = None if valid is None else valid[:-1]
+            kv = prefill_fn(x[:, :-1], mods_ctx_rows, valid_ctx)
+
+            def body(carry, inp):
+                x_last, _ = carry  # (B, 1, C, H, W)
+                noise_idx, m_last = inp
+                v = step_fn(x_last, kv, m_last, valid).astype(jnp.float32)
+                curr = noise_range[noise_idx]
+                nxt = noise_range[jnp.maximum(noise_idx - 1, 0)]
+                alpha = alphas_cumprod[curr]
+                alpha_next = alphas_cumprod[nxt]
+                x32 = x_last.astype(jnp.float32)
+                x_start = jnp.sqrt(alpha) * x32 - jnp.sqrt(1.0 - alpha) * v
+                x_noise = (
+                    jnp.sqrt(1.0 / alpha) * x32 - x_start
+                ) / jnp.sqrt(1.0 / alpha - 1.0)
+                x_pred = (
+                    jnp.sqrt(alpha_next) * x_start
+                    + jnp.sqrt(1.0 - alpha_next) * x_noise
+                )
+                x_out = jnp.where(noise_idx <= 0, x_start, x_pred)
+                return (x_out, v), None
+
+            v0 = jnp.zeros_like(x[:, -1:])
+            (x_last, v_last), _ = jax.lax.scan(
+                body, (x[:, -1:], v0), (idxs, mods_last)
+            )
+            x = jnp.concatenate([x[:, :-1], x_last], axis=1)
+            # context-row v is never computed in this mode (callers on the
+            # rollout path discard v; renoise uses the plain path)
+            v_full = jnp.concatenate(
+                [jnp.zeros_like(x[:, :-1]), v_last], axis=1
+            )
+            return x, v_full
 
         def body(carry, inp):
             x_win, _ = carry
@@ -227,7 +271,7 @@ def denoise_window(
 
 
 def make_rollout(dit_fn, max_frames: int, cfg: SamplerConfig, pab=None,
-                 cond=None):
+                 cond=None, incremental=None):
     """Build a jittable autoregressive rollout.
 
     dit_fn(params, x, t, actions, valid) -> v. Params are threaded through as
@@ -253,6 +297,11 @@ def make_rollout(dit_fn, max_frames: int, cfg: SamplerConfig, pab=None,
     cond: optional (cond_fn, apply_fn) pair (gtax.models.dit.make_cond_fns)
     enabling the bit-exact conditioning cache (see denoise_window); used on
     the exact path (ignored when attention broadcast is active).
+
+    incremental: optional (prefill_fn, step_fn) pair
+    (gtax.models.dit.make_incremental_fns; requires cond) enabling
+    incremental decoding — per-frame context prefill + last-frame-only
+    denoise steps over a temporal K/V cache. Reference-exact semantics.
     """
     abar, noise_range = cfg.tables()
     W = max_frames
@@ -318,9 +367,17 @@ def make_rollout(dit_fn, max_frames: int, cfg: SamplerConfig, pab=None,
                 )
             else:
                 bound_cond = None
+            if incremental is not None and cond is not None:
+                bound_inc = (
+                    lambda xc, mc, vc: incremental[0](params, xc, mc, vc),
+                    lambda xl, kv, ml, vv: incremental[1](params, xl, kv,
+                                                          ml, vv),
+                )
+            else:
+                bound_inc = None
             window, _ = denoise_window(
                 bound_dit, window, awin, valid, cfg, abar, noise_range,
-                cached=cached, cond=bound_cond,
+                cached=cached, cond=bound_cond, incremental=bound_inc,
             )
             new_frame = window[:, -1]
             ctx_buf = jnp.concatenate([ctx_buf[:, 1:], window[:, -1:]], axis=1)

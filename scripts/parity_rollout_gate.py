@@ -141,6 +141,10 @@ def gtax_rollout(prompt, noise, total_frames, steps):
 
         dit_params = quantize_for_inference(
             unstack_for_inference(dit_params, dit_cfg), dit_cfg)
+    elif getattr(args, "incremental", False):
+        from gtax.models.dit import unstack_for_inference
+
+        dit_params = unstack_for_inference(dit_params, dit_cfg)
 
     lat = encode_frames(vae_params, vae_cfg, jnp.asarray(prompt), jnp.float32)
     assert abs(LATENT_SCALE - 0.07843137255) < 1e-12
@@ -154,7 +158,17 @@ def gtax_rollout(prompt, noise, total_frames, steps):
         return dit_apply(params, dit_cfg, x, t, a, valid,
                          compute_dtype=jnp.float32)
 
-    rollout = make_rollout(dit_fn, dit_cfg.max_frames, cfg)
+    cond = incremental = None
+    if getattr(args, "incremental", False):
+        # the SHIPPED SERVING DEFAULT: conditioning cache + incremental
+        # decoding (context prefill + last-frame-only steps) — gate it
+        # against the same torch fp32 rollout
+        from gtax.models.dit import make_cond_fns, make_incremental_fns
+
+        cond = make_cond_fns(dit_cfg, jnp.float32)
+        incremental = make_incremental_fns(dit_cfg, jnp.float32)
+    rollout = make_rollout(dit_fn, dit_cfg.max_frames, cfg, cond=cond,
+                           incremental=incremental)
     key = jax.random.PRNGKey(0)  # unused: noise injected
     t0 = time.time()
     lat_out = rollout(dit_params, lat, None, key,
@@ -189,6 +203,9 @@ if __name__ == "__main__":
     p.add_argument("--min-psnr", type=float, default=25.0)
     p.add_argument("--quantize", choices=["none", "int8"], default="none",
                    help="int8 = gate the W8A8 serving path at full size")
+    p.add_argument("--incremental", action="store_true",
+                   help="gate the incremental-decoding serving path "
+                        "(conditioning cache + context K/V prefill)")
     p.add_argument("--out", default="parity_gate_result.json",
                    help="result filename under tests/golden_full/")
     args = p.parse_args()
@@ -203,6 +220,8 @@ if __name__ == "__main__":
     )
 
     tag = "int8 W8A8" if args.quantize == "int8" else "fp32, xla backend"
+    if args.incremental:
+        tag += " + incremental decoding"
     print(f"=== gtax rollout ({tag}) ===", flush=True)
     ours, ours_lat, gtax_s, gtax_fwd, gtax_dev = gtax_rollout(
         prompt, noise, args.frames, args.steps
@@ -252,6 +271,7 @@ if __name__ == "__main__":
         "fwd_speedup_gtax_vs_torch_cpu": round(torch_fwd / gtax_fwd, 2),
         "checkpoint": os.path.basename(args.dit),
         "quantize": args.quantize,
+        "incremental": bool(args.incremental),
     }
     os.makedirs(FULL, exist_ok=True)
     with open(os.path.join(FULL, args.out), "w") as f:

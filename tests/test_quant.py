@@ -201,3 +201,42 @@ def test_quantized_cond_cache_rollout(random_dit_params):
         params, prompt, actions, jax.random.PRNGKey(0), num_gen_frames=4)
     np.testing.assert_allclose(np.asarray(cached), np.asarray(plain),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_quantized_incremental_rollout(random_dit_params):
+    """Incremental decoding (context prefill + last-frame-only steps over
+    the temporal K/V cache) under int8: row-count-dependent fp noise flips
+    occasional int8 roundings, so plain/incremental aren't bitwise equal —
+    assert instead that the incremental rollout is exactly as accurate
+    against the fp32 reference as the plain quantized rollout, and close to
+    it in absolute terms."""
+    from gtax.models.dit import make_cond_fns, make_incremental_fns
+    from gtax.sampling import diffusion as sd
+
+    unstacked = unstack_for_inference(random_dit_params, DIT_SMALL)
+    params = quantize_for_inference(unstacked, DIT_SMALL)
+
+    def dit_fn(p, x, t, a, v=None):
+        return dit_apply(p, DIT_SMALL, x, t, a, v, compute_dtype=jnp.float32)
+
+    cfg = sd.SamplerConfig(ddim_noise_steps=3, stabilization_level=15)
+    B, C, H, W = 1, DIT_SMALL.in_channels, DIT_SMALL.input_h, DIT_SMALL.input_w
+    prompt = jax.random.normal(jax.random.PRNGKey(5), (B, 2, C, H, W))
+    actions = jax.random.normal(jax.random.PRNGKey(6), (B, 6, 25))
+    cond = make_cond_fns(DIT_SMALL, jnp.float32)
+    fp32 = sd.make_rollout(dit_fn, 5, cfg)(
+        unstacked, prompt, actions, jax.random.PRNGKey(0), num_gen_frames=4)
+    plain = sd.make_rollout(dit_fn, 5, cfg, cond=cond)(
+        params, prompt, actions, jax.random.PRNGKey(0), num_gen_frames=4)
+    inc = make_incremental_fns(DIT_SMALL, jnp.float32)
+    fast = sd.make_rollout(dit_fn, 5, cfg, cond=cond, incremental=inc)(
+        params, prompt, actions, jax.random.PRNGKey(0), num_gen_frames=4)
+
+    def rel(a, b):
+        return float(jnp.linalg.norm((a - b).ravel())
+                     / jnp.linalg.norm(b.ravel()))
+
+    e_plain = rel(plain, fp32)   # measured 1.93e-3
+    e_fast = rel(fast, fp32)     # measured 1.94e-3
+    assert e_fast < e_plain * 1.1 + 1e-6, (e_fast, e_plain)
+    assert rel(fast, plain) < 1e-3  # measured 5.3e-4 (quant rounding flips)

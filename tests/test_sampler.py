@@ -236,3 +236,38 @@ def test_cond_cache_rollout_exact(dit_small_params):
     np.testing.assert_allclose(
         np.asarray(cached_na), np.asarray(plain_na), atol=1e-5, rtol=1e-5
     )
+
+
+def test_incremental_rollout_matches_fused(dit_small_params):
+    """Incremental decoding vs the full-window fused-backend rollout on the
+    golden small checkpoint (fp32, interpret-mode kernels): the context
+    prefill + last-frame steps must reproduce the exact scheme. Covers the
+    short-prompt (masked padded slots) case too."""
+    from gtax.models.dit import (make_cond_fns, make_incremental_fns,
+                                 unstack_for_inference)
+    from gtax.nn import attention as nnattn
+
+    unstacked = unstack_for_inference(dit_small_params, DIT_SMALL)
+    prompt = jnp.asarray(
+        np.random.default_rng(3).normal(size=(1, 2, 16, 18, 32)) * 0.1,
+        jnp.float32,
+    )
+    acts = jnp.asarray(
+        np.random.default_rng(4).normal(size=(1, 8, 25)), jnp.float32
+    )
+    sam = sd.SamplerConfig(ddim_noise_steps=4, stabilization_level=15)
+    cond = make_cond_fns(DIT_SMALL, jnp.float32)
+    nnattn.set_backend("fused")
+    try:
+        plain = sd.make_rollout(dit_fn_p, 5, sam, cond=cond)(
+            unstacked, prompt, acts, jax.random.PRNGKey(9), num_gen_frames=4
+        )
+        inc = make_incremental_fns(DIT_SMALL, jnp.float32)
+        fast = sd.make_rollout(dit_fn_p, 5, sam, cond=cond, incremental=inc)(
+            unstacked, prompt, acts, jax.random.PRNGKey(9), num_gen_frames=4
+        )
+    finally:
+        nnattn.set_backend("xla")
+    np.testing.assert_allclose(
+        np.asarray(fast), np.asarray(plain), atol=2e-4, rtol=1e-4
+    )

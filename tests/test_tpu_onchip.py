@@ -127,3 +127,47 @@ def test_fused_valid_mask_onchip(setup):
         nnattn.set_backend("xla")
     assert_close(out, ref, atol=2e-3, rtol=2e-3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_incremental_step_onchip(setup):
+    """Incremental decoding after real Mosaic lowering: prefill (emit_kv
+    temporal kernels) + last-frame step must reproduce the full-window
+    fused forward's last-frame output, bf16 and int8, with a short-prompt
+    validity mask."""
+    from gtax.models.dit import (dit_apply_step, dit_cond, dit_prefill,
+                                 quantize_for_inference,
+                                 unstack_for_inference)
+
+    params, x, t_, acts = setup
+    t = jnp.concatenate(
+        [jnp.full((2, 4), 15, jnp.int32), jnp.full((2, 1), 40, jnp.int32)],
+        axis=1,
+    )
+    valid = jnp.asarray([False, True, True, True, True])
+    unstacked = unstack_for_inference(params, DIT_ONCHIP)
+
+    for quant in (False, True):
+        p = (quantize_for_inference(unstacked, DIT_ONCHIP) if quant
+             else unstacked)
+        nnattn.set_backend("fused")
+        try:
+            ref = dit_apply(p, DIT_ONCHIP, x, t, acts, valid,
+                            compute_dtype=jnp.float32)
+            mods = dit_cond(p, DIT_ONCHIP, t, acts, jnp.float32)
+            mods_ctx = jax.tree.map(lambda m: m[:, :-1], mods)
+            kv = dit_prefill(p, DIT_ONCHIP, x[:, :-1], mods_ctx, valid[:-1],
+                             jnp.float32)
+            mods_last = jax.tree.map(lambda m: m[:, -1:], mods)
+            out = dit_apply_step(p, DIT_ONCHIP, x[:, -1:], kv, mods_last,
+                                 valid, jnp.float32)
+        finally:
+            nnattn.set_backend("xla")
+        ref_n = np.asarray(ref[:, -1:])
+        out_n = np.asarray(out)
+        rel = np.linalg.norm(out_n - ref_n) / np.linalg.norm(ref_n)
+        # fp32 matmuls lower through MXU passes whose tiling differs with
+        # row count on real hardware — same ~1e-3 band as the other on-chip
+        # equivalence tests (measured 6.3e-4); int8 adds rounding flips
+        tol = 5e-3 if quant else 2e-3
+        assert rel < tol, f"incremental (quant={quant}) rel L2 {rel}"
+        assert np.isfinite(out_n).all()
