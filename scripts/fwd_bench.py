@@ -25,6 +25,9 @@ def main():
     p.add_argument("--unstack", action="store_true",
                    help="per-block weight pytrees (the serving layout)")
     p.add_argument("--backends", default="xla,pallas,fused,fused_mlp,fused_all")
+    p.add_argument("--incremental", action="store_true",
+                   help="time the incremental-decoding step (last-frame "
+                        "forward over a prefilled context K/V cache)")
     p.add_argument("--quantize", choices=["none", "int8"], default="none",
                    help="int8 = W8A8 serving params (backend list is "
                         "ignored; the quantized path always takes the int8 "
@@ -44,7 +47,7 @@ def main():
     params = jax.jit(lambda k: dit_init(k, cfg))(jax.random.PRNGKey(0))
     if dtype != jnp.float32:
         params = jax.jit(lambda p: cast_params_for_inference(p, dtype))(params)
-    if args.unstack:
+    if args.unstack or args.incremental:  # incremental needs per-block trees
         from gtax.models.dit import unstack_for_inference
 
         params = unstack_for_inference(params, cfg)
@@ -61,6 +64,47 @@ def main():
 
     flops = dit_forward_flops(cfg, B, 5)
     K = args.repeats  # forwards per timed program
+
+    if args.incremental:
+        # incremental-decoding step latency: chain K last-frame steps over a
+        # fixed prefilled context cache (the rollout's hot loop)
+        from gtax.models.dit import dit_apply_step, dit_cond, dit_prefill
+
+        attention_mod.set_backend("fused")
+        mods = jax.jit(
+            lambda p, tt, aa: dit_cond(p, cfg, tt, aa, dtype)
+        )(params, t, a)
+        mods_ctx = jax.tree.map(lambda m: m[:, :-1], mods)
+        mods_last = jax.tree.map(lambda m: m[:, -1:], mods)
+        kv = jax.jit(
+            lambda p, xc, mc: dit_prefill(p, cfg, xc, mc, None, dtype)
+        )(params, x[:, :-1], mods_ctx)
+
+        def chain(p, x_last, kv, ml):
+            def body(xc, _):
+                v = dit_apply_step(p, cfg, xc, kv, ml, None, dtype)
+                return v.astype(xc.dtype), ()
+
+            out, _ = jax.lax.scan(body, x_last, None, length=K)
+            return out
+
+        jchain = jax.jit(
+            lambda p, xl, kv, ml: jnp.sum(chain(p, xl, kv, ml))
+        )
+        xl = x[:, -1:]
+        float(jchain(params, xl, kv, mods_last))
+        t0 = time.perf_counter()
+        float(jchain(params, xl, kv, mods_last))
+        t1 = time.perf_counter()
+        float(jchain(params, xl, kv, mods_last))
+        dt = min(t1 - t0, time.perf_counter() - t1) / K
+        print(json.dumps({"device": jax.devices()[0].device_kind,
+                          "incremental_step_ms": round(dt * 1e3, 3),
+                          "quantize": args.quantize}))
+        if args.profile:
+            with trace(os.path.join(args.profile, "incremental")):
+                jchain(params, xl, kv, mods_last).block_until_ready()
+        return
 
     results = {}
     for backend in args.backends.split(","):
