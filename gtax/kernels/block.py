@@ -69,6 +69,25 @@ def _ln_modulate32(x_ref, shift_ref, scale_ref, ln_eps, mod_eps):
     return x32, ln * (1.0 + scale + mod_eps) + shift
 
 
+def _rope_rotate(x, cos, sin, R):
+    """x * cos + rotate_half(x) * sin in fp32 over full-width (rows, D) slabs
+    with per-head tables. rotate_half is head-local (a pairwise permutation),
+    so it runs as num_heads (d, d) signed-permutation dots — bit-identical to
+    one block-diagonal (D, D) dot (every off-block product is an exact zero)
+    at ~num_heads x fewer fp32 MXU flops, and the kernel streams a d*d
+    constant instead of D*D (16 KB vs 4 MB at flagship size; the (D, D)
+    constant's per-call DMA + fp32 dot were ~2/3 of the incremental temporal
+    kernel's runtime — docs/PERF.md round 2)."""
+    d = R.shape[0]
+    D = x.shape[-1]
+    parts = [
+        jnp.dot(x[:, i:i + d], R, preferred_element_type=jnp.float32)
+        for i in range(0, D, d)
+    ]
+    rh = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
+    return x * cos + rh * sin
+
+
 def _spatial_attention_core(q, k, v, cos, sin, R, dtype, num_heads, n_frames,
                             seq_len):
     """Per-frame full attention over fp32 qkv (N*S, D) slabs: rope via the
@@ -138,7 +157,7 @@ def _kernel(x_ref, shift_ref, scale_ref, gate_ref, qkvw_ref, outw_ref,
 
 
 def _temporal_kernel(x_ref, shift_ref, scale_ref, gate_ref, qkvw_ref,
-                     outw_ref, outb_ref, cos_ref, sin_ref, rotf_ref, seg_ref,
+                     outw_ref, outb_ref, cos_ref, sin_ref, rot_ref, seg_ref,
                      bias_ref, o_ref, k_ref=None, v_ref=None, *, num_heads,
                      n_frames, n_batches, seq_len, ln_eps, mod_eps):
     """Fused temporal (causal) attention branch.
@@ -162,7 +181,7 @@ def _temporal_kernel(x_ref, shift_ref, scale_ref, gate_ref, qkvw_ref,
     q, k, v = qkv[:, :D], qkv[:, D:2 * D], qkv[:, 2 * D:]
 
     attn_out = _temporal_attention_core(
-        q, k, v, cos_ref[:], sin_ref[:], rotf_ref[:], seg_ref[:], bias_ref,
+        q, k, v, cos_ref[:], sin_ref[:], rot_ref[:], seg_ref[:], bias_ref,
         x.dtype, num_heads, n_frames, n_batches, seq_len,
         kv_out=None if k_ref is None else (k_ref, v_ref),
     ).astype(x.dtype)
@@ -173,12 +192,12 @@ def _temporal_kernel(x_ref, shift_ref, scale_ref, gate_ref, qkvw_ref,
     o_ref[:] = (x32 + g * y).astype(o_ref.dtype)
 
 
-def _temporal_attention_core(q, k, v, cos, sin, Rf, seg, bias_ref, dtype,
+def _temporal_attention_core(q, k, v, cos, sin, R, seg, bias_ref, dtype,
                              num_heads, n_frames, n_batches, seq_len,
                              kv_out=None):
     """Causal frame-pair attention over fp32 qkv (N*S, D) slabs: full-width
-    rope over the frame axis (rotate_half via the block-diagonal signed
-    permutation Rf), then segment-sum scores per causal (i, j) frame pair —
+    rope over the frame axis (rotate_half via per-head (d, d) signed
+    permutation dots), then segment-sum scores per causal (i, j) frame pair —
     token-major rows are frame-contiguous so no relayout is needed. Returns
     fp32 (N*S, D). Shared by the bf16 and int8 kernels.
 
@@ -191,10 +210,8 @@ def _temporal_attention_core(q, k, v, cos, sin, Rf, seg, bias_ref, dtype,
     T = n_frames
     D = q.shape[-1]
     d = D // num_heads
-    q = q * cos + jnp.dot(q, Rf, preferred_element_type=jnp.float32) * sin
-    k = k * cos + jnp.dot(k, Rf, preferred_element_type=jnp.float32) * sin
-    q = q.astype(dtype)
-    k = k.astype(dtype)
+    q = _rope_rotate(q, cos, sin, R).astype(dtype)
+    k = _rope_rotate(k, cos, sin, R).astype(dtype)
     v = v.astype(dtype)
     if kv_out is not None:
         kv_out[0][:] = k
@@ -240,7 +257,7 @@ def _temporal_attention_core(q, k, v, cos, sin, Rf, seg, bias_ref, dtype,
     return jnp.concatenate(out_rows, axis=0).astype(jnp.float32)
 
 
-def _temporal_step_core(q, k, v, kctx, vctx, cos, sin, Rf, seg, bias_ref,
+def _temporal_step_core(q, k, v, kctx, vctx, cos, sin, R, seg, bias_ref,
                         dtype, num_heads, n_ctx, n_batches, seq_len):
     """LAST-SLOT causal attention against cached context K/V (incremental
     decoding): q/k/v are the last frame's rows (rope applied here at slot
@@ -251,10 +268,8 @@ def _temporal_step_core(q, k, v, kctx, vctx, cos, sin, Rf, seg, bias_ref,
     S = seq_len
     D = q.shape[-1]
     d = D // num_heads
-    q = q * cos + jnp.dot(q, Rf, preferred_element_type=jnp.float32) * sin
-    k = k * cos + jnp.dot(k, Rf, preferred_element_type=jnp.float32) * sin
-    q = q.astype(dtype)
-    k = k.astype(dtype)
+    q = _rope_rotate(q, cos, sin, R).astype(dtype)
+    k = _rope_rotate(k, cos, sin, R).astype(dtype)
     v = v.astype(dtype)
     scale_attn = 1.0 / (d**0.5)
     out_rows = []
@@ -301,7 +316,7 @@ def _temporal_step_core(q, k, v, kctx, vctx, cos, sin, Rf, seg, bias_ref,
 
 def _temporal_step_kernel(x_ref, shift_ref, scale_ref, gate_ref, qkvw_ref,
                           outw_ref, outb_ref, kctx_ref, vctx_ref, cos_ref,
-                          sin_ref, rotf_ref, seg_ref, bias_ref, o_ref, *,
+                          sin_ref, rot_ref, seg_ref, bias_ref, o_ref, *,
                           num_heads, n_ctx, n_batches, seq_len, ln_eps,
                           mod_eps):
     """Fused incremental temporal branch (bf16): the last frame's rows only,
@@ -314,7 +329,7 @@ def _temporal_step_kernel(x_ref, shift_ref, scale_ref, gate_ref, qkvw_ref,
     q, k, v = qkv[:, :D], qkv[:, D:2 * D], qkv[:, 2 * D:]
     attn_out = _temporal_step_core(
         q, k, v, kctx_ref[:], vctx_ref[:], cos_ref[:], sin_ref[:],
-        rotf_ref[:], seg_ref[:], bias_ref, x.dtype, num_heads, n_ctx,
+        rot_ref[:], seg_ref[:], bias_ref, x.dtype, num_heads, n_ctx,
         n_batches, seq_len,
     ).astype(x.dtype)
     y = jnp.dot(attn_out, outw_ref[:], preferred_element_type=jnp.float32)
@@ -333,7 +348,7 @@ def fused_temporal_step(x, shift, scale, gate, qkv_w, out_w, out_b, k_ctx,
     B, S, D = x.shape
     T = n_ctx + 1
     d = D // num_heads
-    _, _, Rf, seg, bias = temporal_preamble(
+    _, _, R, seg, bias = temporal_preamble(
         rope_freqs, valid, B, S, T, num_heads, d, x.dtype
     )
     cos_t = jnp.cos(rope_freqs.astype(jnp.float32))
@@ -358,14 +373,14 @@ def fused_temporal_step(x, shift, scale, gate, qkv_w, out_w, out_b, k_ctx,
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
     )(xf, shift, scale, gate, qkv_w, out_w, out_b, k_ctx, v_ctx, cos, sin,
-      Rf, seg, bias)
+      R, seg, bias)
     return out.reshape(B, S, D)
 
 
 def temporal_preamble(rope_freqs, valid, B, S, T, num_heads, d, dtype):
     """Shared inputs for every fused temporal-attention variant: per-row rope
-    cos/sin tables tiled over tokens and heads, the block-diagonal
-    rotate-half permutation Rf, the head-indicator segment matrix seg, and
+    cos/sin tables tiled over tokens and heads, the per-head (d, d)
+    rotate-half permutation R, the head-indicator segment matrix seg, and
     the additive causal+validity bias (always-open diagonal for padded
     queries). PARITY-CRITICAL mask math — one implementation serves the
     trainable, scalar-prefetch, and whole-stack kernels so the three paths
@@ -374,8 +389,7 @@ def temporal_preamble(rope_freqs, valid, B, S, T, num_heads, d, dtype):
     sin_t = jnp.sin(rope_freqs.astype(jnp.float32))
     cos = jnp.tile(jnp.repeat(cos_t, S, axis=0), (B, num_heads))  # (B*T*S, D)
     sin = jnp.tile(jnp.repeat(sin_t, S, axis=0), (B, num_heads))
-    R = rotate_half_matrix(d)
-    Rf = jnp.asarray(np.kron(np.eye(num_heads, dtype=np.float32), R))
+    R = jnp.asarray(rotate_half_matrix(d))
     seg = jnp.asarray(
         np.kron(np.eye(num_heads, dtype=np.float32),
                 np.ones((d, 1), np.float32))
@@ -388,7 +402,7 @@ def temporal_preamble(rope_freqs, valid, B, S, T, num_heads, d, dtype):
     else:
         allow = jnp.asarray(causal)
     bias = jnp.where(allow, 0.0, -1e30).astype(jnp.float32)
-    return cos, sin, Rf, seg, bias
+    return cos, sin, R, seg, bias
 
 
 @functools.partial(jax.jit,
@@ -407,7 +421,7 @@ def fused_temporal_branch(x, shift, scale, gate, qkv_w, out_w, out_b,
     T = n_frames
     B = N // T
     d = D // num_heads
-    cos, sin, Rf, seg, bias = temporal_preamble(
+    cos, sin, R, seg, bias = temporal_preamble(
         rope_freqs, valid, B, S, T, num_heads, d, x.dtype
     )
 
@@ -436,13 +450,13 @@ def fused_temporal_branch(x, shift, scale, gate, qkv_w, out_w, out_b,
             row_spec, row_spec, row_spec, row_spec,  # x, shift, scale, gate
             full, full, full,                        # qkv_w, out_w, out_b
             row_spec, row_spec,                      # cos, sin (per-row)
-            full, full,                              # Rf, seg
+            full, full,                              # R, seg
             pl.BlockSpec(memory_space=pltpu.SMEM),   # bias (T, T)
         ],
         out_specs=(row_spec, row_spec, row_spec) if emit_kv else row_spec,
         interpret=interpret_mode(),
         compiler_params=_BRANCH_PARAMS,
-    )(xf, shift, scale, gate, qkv_w, out_w, out_b, cos, sin, Rf, seg, bias)
+    )(xf, shift, scale, gate, qkv_w, out_w, out_b, cos, sin, R, seg, bias)
     if emit_kv:
         o, kk, vv = out
         return (o.reshape(N, S, D), kk.reshape(N, S, D), vv.reshape(N, S, D))
@@ -532,11 +546,11 @@ def _kernel_pf(idx_ref, x_ref, shift_ref, scale_ref, gate_ref, qkvw_ref,
 
 def _temporal_kernel_pf(idx_ref, x_ref, shift_ref, scale_ref, gate_ref,
                         qkvw_ref, outw_ref, outb_ref, cos_ref, sin_ref,
-                        rotf_ref, seg_ref, bias_ref, o_ref, **kw):
+                        rot_ref, seg_ref, bias_ref, o_ref, **kw):
     del idx_ref
     _temporal_kernel(x_ref, shift_ref, scale_ref, gate_ref,
                      _Squeeze0(qkvw_ref), _Squeeze0(outw_ref), outb_ref,
-                     cos_ref, sin_ref, rotf_ref, seg_ref, bias_ref, o_ref,
+                     cos_ref, sin_ref, rot_ref, seg_ref, bias_ref, o_ref,
                      **kw)
 
 
@@ -695,7 +709,7 @@ def fused_temporal_branch_stacked(x, shift, scale, gate, qkv_w, out_w, out_b,
     T = n_frames
     B = N // T
     d = D // num_heads
-    cos, sin, Rf, seg, bias = temporal_preamble(
+    cos, sin, R, seg, bias = temporal_preamble(
         rope_freqs, valid, B, S, T, num_heads, d, x.dtype
     )
 
@@ -718,7 +732,7 @@ def fused_temporal_branch_stacked(x, shift, scale, gate, qkv_w, out_w, out_b,
             row(D), row(D), row(D), row(D),
             _blk_spec(qkv_w), _blk_spec(out_w), _blk_spec(out_b),
             row(D), row(D),                          # cos, sin
-            _full_spec(Rf), _full_spec(seg),
+            _full_spec(R), _full_spec(seg),
             pl.BlockSpec(memory_space=pltpu.SMEM),   # bias (T, T)
         ],
         out_specs=row(D),
@@ -733,7 +747,7 @@ def fused_temporal_branch_stacked(x, shift, scale, gate, qkv_w, out_w, out_b,
         interpret=interpret_mode(),
         compiler_params=_BRANCH_PARAMS,
     )(block_idx.reshape(1), xf, shift, scale, gate, qkv_w, out_w, out_b,
-      cos, sin, Rf, seg, bias)
+      cos, sin, R, seg, bias)
     return out.reshape(N, S, D)
 
 

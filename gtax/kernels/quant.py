@@ -103,7 +103,7 @@ def _spatial_kernel_q(x_ref, shift_ref, scale_ref, gate_ref, qkvq_ref,
 
 def _temporal_kernel_q(x_ref, shift_ref, scale_ref, gate_ref, qkvq_ref,
                        qkvs_ref, outq_ref, outs_ref, outb_ref, cos_ref,
-                       sin_ref, rotf_ref, seg_ref, bias_ref, o_ref,
+                       sin_ref, rot_ref, seg_ref, bias_ref, o_ref,
                        k_ref=None, v_ref=None, *, num_heads, n_frames,
                        n_batches, seq_len, ln_eps, mod_eps):
     """W8A8 twin of gtax.kernels.block._temporal_kernel (shared attention
@@ -117,7 +117,7 @@ def _temporal_kernel_q(x_ref, shift_ref, scale_ref, gate_ref, qkvq_ref,
     q, k, v = qkv[:, :D], qkv[:, D:2 * D], qkv[:, 2 * D:]
 
     attn_out = _temporal_attention_core(
-        q, k, v, cos_ref[:], sin_ref[:], rotf_ref[:], seg_ref[:], bias_ref,
+        q, k, v, cos_ref[:], sin_ref[:], rot_ref[:], seg_ref[:], bias_ref,
         x.dtype, num_heads, n_frames, n_batches, seq_len,
         kv_out=None if k_ref is None else (k_ref, v_ref),
     )
@@ -130,7 +130,7 @@ def _temporal_kernel_q(x_ref, shift_ref, scale_ref, gate_ref, qkvq_ref,
 
 def _temporal_step_kernel_q(x_ref, shift_ref, scale_ref, gate_ref, qkvq_ref,
                             qkvs_ref, outq_ref, outs_ref, outb_ref, kctx_ref,
-                            vctx_ref, cos_ref, sin_ref, rotf_ref, seg_ref,
+                            vctx_ref, cos_ref, sin_ref, rot_ref, seg_ref,
                             bias_ref, o_ref, *, num_heads, n_ctx, n_batches,
                             seq_len, ln_eps, mod_eps):
     """W8A8 twin of gtax.kernels.block._temporal_step_kernel (incremental
@@ -144,7 +144,7 @@ def _temporal_step_kernel_q(x_ref, shift_ref, scale_ref, gate_ref, qkvq_ref,
     q, k, v = qkv[:, :D], qkv[:, D:2 * D], qkv[:, 2 * D:]
     attn_out = _temporal_step_core(
         q, k, v, kctx_ref[:], vctx_ref[:], cos_ref[:], sin_ref[:],
-        rotf_ref[:], seg_ref[:], bias_ref, x.dtype, num_heads, n_ctx,
+        rot_ref[:], seg_ref[:], bias_ref, x.dtype, num_heads, n_ctx,
         n_batches, seq_len,
     )
     y = _qdot(attn_out, outq_ref, outs_ref)
@@ -163,7 +163,7 @@ def fused_temporal_step_q(x, shift, scale, gate, qkv_q, qkv_s, out_q, out_s,
     B, S, D = x.shape
     T = n_ctx + 1
     d = D // num_heads
-    _, _, Rf, seg, bias = _preamble(
+    _, _, R, seg, bias = _preamble(
         rope_freqs, valid, B, S, T, num_heads, d, x.dtype
     )
     cos_t = jnp.cos(rope_freqs.astype(jnp.float32))
@@ -188,7 +188,7 @@ def fused_temporal_step_q(x, shift, scale, gate, qkv_q, qkv_s, out_q, out_s,
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
     )(xf, shift, scale, gate, qkv_q, qkv_s.reshape(1, -1), out_q,
-      out_s.reshape(1, -1), out_b, k_ctx, v_ctx, cos, sin, Rf, seg, bias)
+      out_s.reshape(1, -1), out_b, k_ctx, v_ctx, cos, sin, R, seg, bias)
     return out.reshape(B, S, D)
 
 
@@ -264,7 +264,7 @@ def fused_temporal_branch_q(x, shift, scale, gate, qkv_q, qkv_s, out_q,
     T = n_frames
     B = N // T
     d = D // num_heads
-    cos, sin, Rf, seg, bias = temporal_preamble(
+    cos, sin, R, seg, bias = temporal_preamble(
         rope_freqs, valid, B, S, T, num_heads, d, x.dtype
     )
 
@@ -290,14 +290,14 @@ def fused_temporal_branch_q(x, shift, scale, gate, qkv_q, qkv_s, out_q,
             row_spec, row_spec, row_spec, row_spec,  # x, shift, scale, gate
             full, full, full, full, full,            # qkv_q/s, out_q/s, out_b
             row_spec, row_spec,                      # cos, sin (per-row)
-            full, full,                              # Rf, seg
+            full, full,                              # R, seg
             pl.BlockSpec(memory_space=pltpu.SMEM),   # bias (T, T)
         ],
         out_specs=(row_spec, row_spec, row_spec) if emit_kv else row_spec,
         interpret=interpret_mode(),
         compiler_params=_BRANCH_PARAMS,
     )(xf, shift, scale, gate, qkv_q, qkv_s.reshape(1, -1), out_q,
-      out_s.reshape(1, -1), out_b, cos, sin, Rf, seg, bias)
+      out_s.reshape(1, -1), out_b, cos, sin, R, seg, bias)
     if emit_kv:
         o, kk, vv = out
         return (o.reshape(N, S, D), kk.reshape(N, S, D), vv.reshape(N, S, D))

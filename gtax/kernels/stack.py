@@ -46,7 +46,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from gtax.kernels.attention import interpret_mode
-from gtax.kernels.block import rotate_half_matrix, temporal_preamble
+from gtax.kernels.block import (_rope_rotate, rotate_half_matrix,
+                                temporal_preamble)
 
 _STACK_PARAMS = pltpu.CompilerParams(
     dimension_semantics=("arbitrary", "arbitrary"),
@@ -62,7 +63,7 @@ _ROW_BIAS2 = 25   # mlp: fc2 bias (cols :D)
 
 
 def _stack_kernel(x_ref, adaln_ref, attn_hbm, mlp_hbm, spcos_ref,
-                  spsin_ref, spR_ref, tcos_ref, tsin_ref, tRf_ref, tseg_ref,
+                  spsin_ref, spR_ref, tcos_ref, tsin_ref, tR_ref, tseg_ref,
                   tbias_ref, o_ref, xs_ref, attn_buf, mlp_buf, attn_sem,
                   mlp_sem, *, depth, num_heads, n_batches, n_frames, seq_len,
                   ln_eps, mod_eps, approx_gelu):
@@ -164,12 +165,10 @@ def _stack_kernel(x_ref, adaln_ref, attn_hbm, mlp_hbm, spcos_ref,
         q, k, v = qkv[:, :D], qkv[:, D:2 * D], qkv[:, 2 * D:]
         cos = tcos_ref[:]  # (rows, D) f32
         sin = tsin_ref[:]
-        Rf = tRf_ref[:]    # (D, D)
+        R = tR_ref[:]      # (d, d) per-head rotate-half permutation
         seg = tseg_ref[:]  # (D, h)
-        qr = (q * cos + jnp.dot(
-            q, Rf, preferred_element_type=jnp.float32) * sin).astype(dt)
-        kr = (k * cos + jnp.dot(
-            k, Rf, preferred_element_type=jnp.float32) * sin).astype(dt)
+        qr = _rope_rotate(q, cos, sin, R).astype(dt)
+        kr = _rope_rotate(k, cos, sin, R).astype(dt)
         vv = v.astype(dt)
         out_rows = []
         for bb in range(n_batches):
@@ -346,7 +345,7 @@ def fused_dit_stack(x, attn_pack, mlp_pack, sideband, spatial_freqs,
     spsin = jnp.tile(jnp.sin(spatial_freqs.astype(jnp.float32)), (B * T, 1))
     spR = jnp.asarray(rotate_half_matrix(d))
 
-    tcos, tsin, tRf, tseg, tbias = temporal_preamble(
+    tcos, tsin, tR, tseg, tbias = temporal_preamble(
         temporal_freqs, valid, B, S, T, num_heads, d, dt
     )
 
@@ -372,7 +371,7 @@ def fused_dit_stack(x, attn_pack, mlp_pack, sideband, spatial_freqs,
             pl.BlockSpec(memory_space=pl.ANY),      # attn_pack
             pl.BlockSpec(memory_space=pl.ANY),      # mlp_pack
             full(spcos), full(spsin), full(spR),
-            full(tcos), full(tsin), full(tRf), full(tseg),
+            full(tcos), full(tsin), full(tR), full(tseg),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # tbias (T, T)
         ],
         out_specs=full(x),
@@ -387,5 +386,5 @@ def fused_dit_stack(x, attn_pack, mlp_pack, sideband, spatial_freqs,
         interpret=interpret_mode(),
         compiler_params=_STACK_PARAMS,
     )(x, sideband, attn_pack, mlp_pack, spcos, spsin, spR, tcos, tsin,
-      tRf, tseg, tbias)
+      tR, tseg, tbias)
     return out
