@@ -55,17 +55,29 @@ def rotate_half_matrix(d: int) -> np.ndarray:
     return R
 
 
-def _ln_modulate32(x_ref, shift_ref, scale_ref, ln_eps, mod_eps):
-    """LayerNorm (no affine) + adaLN modulate in fp32 (scale/shift
-    pre-broadcast to token rows by the callers). Shared by the bf16 and int8
-    kernel bodies so the fp32 normalization math can never drift between
-    them. Returns (x32, mod32)."""
+def _rows_from_frames(v, seq_len):
+    """(F, D) per-frame vectors -> (F*S, D) token rows as a free frame-major
+    view + second-minor broadcast (token rows are frame-contiguous and S is a
+    sublane multiple). Keeping adaLN vectors and rope tables per-FRAME until
+    this point saves the callers' jnp.repeat materialisations: at incremental
+    serving shapes the repeated rows were ~40% of the non-weight kernel DMA,
+    and at training shapes XLA wrote them through HBM."""
+    F, D = v.shape
+    return jnp.broadcast_to(v[:, None, :], (F, seq_len, D)).reshape(
+        F * seq_len, D)
+
+
+def _ln_modulate32(x_ref, shift_ref, scale_ref, ln_eps, mod_eps, seq_len):
+    """LayerNorm (no affine) + adaLN modulate in fp32. shift/scale arrive as
+    per-FRAME (F, D) vectors and are broadcast to token rows here. Shared by
+    the bf16 and int8 kernel bodies so the fp32 normalization math can never
+    drift between them. Returns (x32, mod32)."""
     x32 = x_ref[:].astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
     ln = (x32 - mean) * jax.lax.rsqrt(var + ln_eps)
-    scale = scale_ref[:].astype(jnp.float32)
-    shift = shift_ref[:].astype(jnp.float32)
+    scale = _rows_from_frames(scale_ref[:].astype(jnp.float32), seq_len)
+    shift = _rows_from_frames(shift_ref[:].astype(jnp.float32), seq_len)
     return x32, ln * (1.0 + scale + mod_eps) + shift
 
 
@@ -135,7 +147,8 @@ def _kernel(x_ref, shift_ref, scale_ref, gate_ref, qkvw_ref, outw_ref,
     x = x_ref[:]  # (N*S, D) bf16
     NS, D = x.shape
 
-    x32, mod32 = _ln_modulate32(x_ref, shift_ref, scale_ref, ln_eps, mod_eps)
+    x32, mod32 = _ln_modulate32(x_ref, shift_ref, scale_ref, ln_eps, mod_eps,
+                                seq_len)
     mod = mod32.astype(x.dtype)
 
     # fused qkv GEMM over all tokens
@@ -152,7 +165,7 @@ def _kernel(x_ref, shift_ref, scale_ref, gate_ref, qkvw_ref, outw_ref,
     y = y + outb_ref[0].astype(jnp.float32)
 
     # gated residual
-    g = gate_ref[:].astype(jnp.float32)
+    g = _rows_from_frames(gate_ref[:].astype(jnp.float32), seq_len)
     o_ref[:] = (x32 + g * y).astype(o_ref.dtype)
 
 
@@ -174,21 +187,23 @@ def _temporal_kernel(x_ref, shift_ref, scale_ref, gate_ref, qkvw_ref,
     x = x_ref[:]  # (N*S, D)
     NS, D = x.shape
 
-    x32, mod32 = _ln_modulate32(x_ref, shift_ref, scale_ref, ln_eps, mod_eps)
+    x32, mod32 = _ln_modulate32(x_ref, shift_ref, scale_ref, ln_eps, mod_eps,
+                                seq_len)
     mod = mod32.astype(x.dtype)
 
     qkv = jnp.dot(mod, qkvw_ref[:], preferred_element_type=jnp.float32)
     q, k, v = qkv[:, :D], qkv[:, D:2 * D], qkv[:, 2 * D:]
 
     attn_out = _temporal_attention_core(
-        q, k, v, cos_ref[:], sin_ref[:], rot_ref[:], seg_ref[:], bias_ref,
-        x.dtype, num_heads, n_frames, n_batches, seq_len,
+        q, k, v, _rows_from_frames(cos_ref[:], seq_len),
+        _rows_from_frames(sin_ref[:], seq_len), rot_ref[:], seg_ref[:],
+        bias_ref, x.dtype, num_heads, n_frames, n_batches, seq_len,
         kv_out=None if k_ref is None else (k_ref, v_ref),
     ).astype(x.dtype)
 
     y = jnp.dot(attn_out, outw_ref[:], preferred_element_type=jnp.float32)
     y = y + outb_ref[0].astype(jnp.float32)
-    g = gate_ref[:].astype(jnp.float32)
+    g = _rows_from_frames(gate_ref[:].astype(jnp.float32), seq_len)
     o_ref[:] = (x32 + g * y).astype(o_ref.dtype)
 
 
@@ -323,18 +338,21 @@ def _temporal_step_kernel(x_ref, shift_ref, scale_ref, gate_ref, qkvw_ref,
     attending to cached context K/V."""
     x = x_ref[:]
     NS, D = x.shape
-    x32, mod32 = _ln_modulate32(x_ref, shift_ref, scale_ref, ln_eps, mod_eps)
+    x32, mod32 = _ln_modulate32(x_ref, shift_ref, scale_ref, ln_eps, mod_eps,
+                                seq_len)
     mod = mod32.astype(x.dtype)
     qkv = jnp.dot(mod, qkvw_ref[:], preferred_element_type=jnp.float32)
     q, k, v = qkv[:, :D], qkv[:, D:2 * D], qkv[:, 2 * D:]
     attn_out = _temporal_step_core(
-        q, k, v, kctx_ref[:], vctx_ref[:], cos_ref[:], sin_ref[:],
+        q, k, v, kctx_ref[:], vctx_ref[:],
+        _rows_from_frames(cos_ref[:], seq_len),
+        _rows_from_frames(sin_ref[:], seq_len),
         rot_ref[:], seg_ref[:], bias_ref, x.dtype, num_heads, n_ctx,
         n_batches, seq_len,
     ).astype(x.dtype)
     y = jnp.dot(attn_out, outw_ref[:], preferred_element_type=jnp.float32)
     y = y + outb_ref[0].astype(jnp.float32)
-    g = gate_ref[:].astype(jnp.float32)
+    g = _rows_from_frames(gate_ref[:].astype(jnp.float32), seq_len)
     o_ref[:] = (x32 + g * y).astype(o_ref.dtype)
 
 
@@ -353,11 +371,10 @@ def fused_temporal_step(x, shift, scale, gate, qkv_w, out_w, out_b, k_ctx,
     )
     cos_t = jnp.cos(rope_freqs.astype(jnp.float32))
     sin_t = jnp.sin(rope_freqs.astype(jnp.float32))
-    cos = jnp.tile(jnp.repeat(cos_t[T - 1:T], S, axis=0), (B, num_heads))
-    sin = jnp.tile(jnp.repeat(sin_t[T - 1:T], S, axis=0), (B, num_heads))
+    # per-batch (B, D) last-slot tables; the kernel broadcasts to token rows
+    cos = jnp.tile(cos_t[T - 1:T], (B, num_heads))
+    sin = jnp.tile(sin_t[T - 1:T], (B, num_heads))
     xf = x.reshape(B * S, D)
-    expand = lambda vv: jnp.repeat(vv, S, axis=0)  # noqa: E731
-    shift, scale, gate = expand(shift), expand(scale), expand(gate)
     out_b = out_b.reshape(1, -1)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     out = pl.pallas_call(
@@ -385,10 +402,11 @@ def temporal_preamble(rope_freqs, valid, B, S, T, num_heads, d, dtype):
     queries). PARITY-CRITICAL mask math — one implementation serves the
     trainable, scalar-prefetch, and whole-stack kernels so the three paths
     can never drift."""
+    del S  # tables are per-FRAME; kernels broadcast to token rows in-VMEM
     cos_t = jnp.cos(rope_freqs.astype(jnp.float32))  # (T, d)
     sin_t = jnp.sin(rope_freqs.astype(jnp.float32))
-    cos = jnp.tile(jnp.repeat(cos_t, S, axis=0), (B, num_heads))  # (B*T*S, D)
-    sin = jnp.tile(jnp.repeat(sin_t, S, axis=0), (B, num_heads))
+    cos = jnp.tile(cos_t, (B, num_heads))  # (B*T, D)
+    sin = jnp.tile(sin_t, (B, num_heads))
     R = jnp.asarray(rotate_half_matrix(d))
     seg = jnp.asarray(
         np.kron(np.eye(num_heads, dtype=np.float32),
@@ -426,8 +444,6 @@ def fused_temporal_branch(x, shift, scale, gate, qkv_w, out_w, out_b,
     )
 
     xf = x.reshape(N * S, D)
-    expand = lambda vv: jnp.repeat(vv, S, axis=0)  # noqa: E731
-    shift, scale, gate = expand(shift), expand(scale), expand(gate)
     out_b = out_b.reshape(1, -1)
     # temporal attention crosses frames WITHIN a batch element only, so the
     # rows chunk exactly over batch elements (grid); each tile holds b_pt
@@ -437,6 +453,9 @@ def fused_temporal_branch(x, shift, scale, gate, qkv_w, out_w, out_b,
     tile_rows = b_pt * T * S
     row_spec = pl.BlockSpec((tile_rows, D), lambda c: (c, 0),
                             memory_space=pltpu.VMEM)
+    # per-frame vectors: b_pt * T rows per tile (adaLN + rope tables)
+    frame_spec = pl.BlockSpec((b_pt * T, D), lambda c: (c, 0),
+                              memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     one = jax.ShapeDtypeStruct(xf.shape, x.dtype)
     out = pl.pallas_call(
@@ -447,9 +466,9 @@ def fused_temporal_branch(x, shift, scale, gate, qkv_w, out_w, out_b,
         out_shape=(one, one, one) if emit_kv else one,
         grid=(n_tiles,),
         in_specs=[
-            row_spec, row_spec, row_spec, row_spec,  # x, shift, scale, gate
+            row_spec, frame_spec, frame_spec, frame_spec,  # x + adaLN vecs
             full, full, full,                        # qkv_w, out_w, out_b
-            row_spec, row_spec,                      # cos, sin (per-row)
+            frame_spec, frame_spec,                  # cos, sin (per-frame)
             full, full,                              # R, seg
             pl.BlockSpec(memory_space=pltpu.SMEM),   # bias (T, T)
         ],
@@ -464,7 +483,8 @@ def fused_temporal_branch(x, shift, scale, gate, qkv_w, out_w, out_b,
 
 
 def _mlp_kernel(x_ref, shift_ref, scale_ref, gate_ref, w1_ref, b1_ref,
-                w2_ref, b2_ref, o_ref, *, ln_eps, mod_eps, approx_gelu):
+                w2_ref, b2_ref, o_ref, *, seq_len, ln_eps, mod_eps,
+                approx_gelu):
     """Fused LN -> modulate -> fc1 -> gelu -> fc2 -> gate -> residual, whole
     branch in ONE VMEM-resident pass. At DiT-S/2 size the full MLP weights
     (D x H + H x D bf16 ~ 17 MB) and the hidden activation (tokens x H) fit
@@ -474,7 +494,8 @@ def _mlp_kernel(x_ref, shift_ref, scale_ref, gate_ref, w1_ref, b1_ref,
     version is the fix — VERDICT r1 next-#3.)"""
     x = x_ref[:]  # (N*S, D)
 
-    x32, mod32 = _ln_modulate32(x_ref, shift_ref, scale_ref, ln_eps, mod_eps)
+    x32, mod32 = _ln_modulate32(x_ref, shift_ref, scale_ref, ln_eps, mod_eps,
+                                seq_len)
     mod = mod32.astype(x.dtype)
 
     h = jnp.dot(mod, w1_ref[:], preferred_element_type=jnp.float32)
@@ -483,7 +504,7 @@ def _mlp_kernel(x_ref, shift_ref, scale_ref, gate_ref, w1_ref, b1_ref,
     y = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
     y = y + b2_ref[0].astype(jnp.float32)
 
-    g = gate_ref[:].astype(jnp.float32)
+    g = _rows_from_frames(gate_ref[:].astype(jnp.float32), seq_len)
     o_ref[:] = (x32 + g * y).astype(o_ref.dtype)
 
 
@@ -495,10 +516,6 @@ def fused_mlp_branch(x, shift, scale, gate, w1, b1, w2, b2,
     N, S, D = x.shape
     H = w1.shape[1]
     xf = x.reshape(N * S, D)
-    # per-frame vectors pre-broadcast to token rows (XLA fuses this into the
-    # producers; avoids unsupported in-kernel sublane repeats)
-    expand = lambda v: jnp.repeat(v, S, axis=0)  # noqa: E731
-    shift, scale, gate = expand(shift), expand(scale), expand(gate)
     b1 = b1.reshape(1, H)
     b2 = b2.reshape(1, D)
     # rows are independent: chunk over frame tiles for training batches
@@ -507,14 +524,17 @@ def fused_mlp_branch(x, shift, scale, gate, w1, b1, w2, b2,
     tile_rows = fpt * S
     row_spec = pl.BlockSpec((tile_rows, D), lambda c: (c, 0),
                             memory_space=pltpu.VMEM)
+    frame_spec = pl.BlockSpec((fpt, D), lambda c: (c, 0),
+                              memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(
-            _mlp_kernel, ln_eps=1e-6, mod_eps=1e-6, approx_gelu=approx_gelu,
+            _mlp_kernel, seq_len=S, ln_eps=1e-6, mod_eps=1e-6,
+            approx_gelu=approx_gelu,
         ),
         out_shape=jax.ShapeDtypeStruct(xf.shape, x.dtype),
         grid=(n_tiles,),
-        in_specs=[row_spec, row_spec, row_spec, row_spec,
+        in_specs=[row_spec, frame_spec, frame_spec, frame_spec,
                   full, full, full, full],
         out_specs=row_spec,
         interpret=interpret_mode(),
@@ -612,10 +632,10 @@ def fused_spatial_branch(x, shift, scale, gate, qkv_w, out_w, out_b,
     R = jnp.asarray(rotate_half_matrix(d))
     out_b = out_b.reshape(1, -1)
     xf = x.reshape(N * S, D)
-    expand = lambda v: jnp.repeat(v, S, axis=0)  # noqa: E731
-    shift, scale, gate = expand(shift), expand(scale), expand(gate)
     row_spec = pl.BlockSpec((tile_rows, D), lambda c: (c, 0),
                             memory_space=pltpu.VMEM)
+    frame_spec = pl.BlockSpec((fpt, D), lambda c: (c, 0),
+                              memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     rot = rope_freqs.shape[-1]
     out = pl.pallas_call(
@@ -626,7 +646,7 @@ def fused_spatial_branch(x, shift, scale, gate, qkv_w, out_w, out_b,
         out_shape=jax.ShapeDtypeStruct(xf.shape, x.dtype),
         grid=(n_tiles,),
         in_specs=[
-            row_spec, row_spec, row_spec, row_spec,  # x, shift, scale, gate
+            row_spec, frame_spec, frame_spec, frame_spec,  # x + adaLN vecs
             full, full, full,                        # qkv_w, out_w, out_b
             pl.BlockSpec((tile_rows, rot), lambda c: (c, 0),
                          memory_space=pltpu.VMEM),   # cos
@@ -665,8 +685,6 @@ def fused_spatial_branch_stacked(x, shift, scale, gate, qkv_w, out_w, out_b,
     sin = jnp.tile(jnp.sin(rope_freqs.astype(jnp.float32)), (N, 1))
     R = jnp.asarray(rotate_half_matrix(d))
     xf = x.reshape(N * S, D)
-    expand = lambda v: jnp.repeat(v, S, axis=0)  # noqa: E731
-    shift, scale, gate = expand(shift), expand(scale), expand(gate)
     rot = rope_freqs.shape[-1]
     # (L, 1, D): Mosaic needs the last-two block dims (8,128)-aligned or full
     out_b = out_b.reshape(out_b.shape[0], 1, -1)
@@ -675,11 +693,13 @@ def fused_spatial_branch_stacked(x, shift, scale, gate, qkv_w, out_w, out_b,
         return pl.BlockSpec((tile_rows, w), lambda c, i: (c, 0),
                             memory_space=pltpu.VMEM)
 
+    frame_spec = pl.BlockSpec((fpt, D), lambda c, i: (c, 0),
+                              memory_space=pltpu.VMEM)
     gs = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[
-            row(D), row(D), row(D), row(D),          # x, shift, scale, gate
+            row(D), frame_spec, frame_spec, frame_spec,  # x + adaLN vecs
             _blk_spec(qkv_w), _blk_spec(out_w), _blk_spec(out_b),
             row(rot), row(rot),                      # cos, sin
             _full_spec(R),
@@ -714,8 +734,6 @@ def fused_temporal_branch_stacked(x, shift, scale, gate, qkv_w, out_w, out_b,
     )
 
     xf = x.reshape(N * S, D)
-    expand = lambda vv: jnp.repeat(vv, S, axis=0)  # noqa: E731
-    shift, scale, gate = expand(shift), expand(scale), expand(gate)
     out_b = out_b.reshape(out_b.shape[0], 1, -1)
     b_pt = _frames_per_tile(B, T * S)
     n_tiles = B // b_pt
@@ -725,13 +743,15 @@ def fused_temporal_branch_stacked(x, shift, scale, gate, qkv_w, out_w, out_b,
         return pl.BlockSpec((tile_rows, w), lambda c, i: (c, 0),
                             memory_space=pltpu.VMEM)
 
+    frame_spec = pl.BlockSpec((b_pt * T, D), lambda c, i: (c, 0),
+                              memory_space=pltpu.VMEM)
     gs = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[
-            row(D), row(D), row(D), row(D),
+            row(D), frame_spec, frame_spec, frame_spec,  # x + adaLN vecs
             _blk_spec(qkv_w), _blk_spec(out_w), _blk_spec(out_b),
-            row(D), row(D),                          # cos, sin
+            frame_spec, frame_spec,                  # cos, sin (per-frame)
             _full_spec(R), _full_spec(seg),
             pl.BlockSpec(memory_space=pltpu.SMEM),   # bias (T, T)
         ],
@@ -758,8 +778,6 @@ def fused_mlp_branch_stacked(x, shift, scale, gate, w1, b1, w2, b2,
     w2: (L, H, D), b2: (L, D) + block_idx."""
     N, S, D = x.shape
     xf = x.reshape(N * S, D)
-    expand = lambda v: jnp.repeat(v, S, axis=0)  # noqa: E731
-    shift, scale, gate = expand(shift), expand(scale), expand(gate)
     b1 = b1.reshape(b1.shape[0], 1, -1)
     b2 = b2.reshape(b2.shape[0], 1, -1)
     fpt = _frames_per_tile(N, S)
@@ -770,18 +788,20 @@ def fused_mlp_branch_stacked(x, shift, scale, gate, w1, b1, w2, b2,
         return pl.BlockSpec((tile_rows, w), lambda c, i: (c, 0),
                             memory_space=pltpu.VMEM)
 
+    frame_spec = pl.BlockSpec((fpt, D), lambda c, i: (c, 0),
+                              memory_space=pltpu.VMEM)
     gs = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[
-            row(D), row(D), row(D), row(D),
+            row(D), frame_spec, frame_spec, frame_spec,
             _blk_spec(w1), _blk_spec(b1), _blk_spec(w2), _blk_spec(b2),
         ],
         out_specs=row(D),
     )
     out = pl.pallas_call(
         functools.partial(
-            _mlp_kernel_pf, ln_eps=1e-6, mod_eps=1e-6,
+            _mlp_kernel_pf, seq_len=S, ln_eps=1e-6, mod_eps=1e-6,
             approx_gelu=approx_gelu,
         ),
         grid_spec=gs,

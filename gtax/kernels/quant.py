@@ -39,6 +39,7 @@ from gtax.kernels.block import (
     _BRANCH_PARAMS,
     _frames_per_tile,
     _ln_modulate32,
+    _rows_from_frames,
     _spatial_attention_core,
     _temporal_attention_core,
     rotate_half_matrix,
@@ -85,7 +86,8 @@ def _spatial_kernel_q(x_ref, shift_ref, scale_ref, gate_ref, qkvq_ref,
     x = x_ref[:]
     NS, D = x.shape
 
-    x32, mod = _ln_modulate32(x_ref, shift_ref, scale_ref, ln_eps, mod_eps)
+    x32, mod = _ln_modulate32(x_ref, shift_ref, scale_ref, ln_eps, mod_eps,
+                              seq_len)
     qkv = _qdot(mod, qkvq_ref, qkvs_ref)  # (NS, 3D) fp32
     q, k, v = qkv[:, :D], qkv[:, D:2 * D], qkv[:, 2 * D:]
 
@@ -97,7 +99,7 @@ def _spatial_kernel_q(x_ref, shift_ref, scale_ref, gate_ref, qkvq_ref,
     y = _qdot(attn_out, outq_ref, outs_ref)
     y = y + outb_ref[0].astype(jnp.float32)
 
-    g = gate_ref[:].astype(jnp.float32)
+    g = _rows_from_frames(gate_ref[:].astype(jnp.float32), seq_len)
     o_ref[:] = (x32 + g * y).astype(o_ref.dtype)
 
 
@@ -112,19 +114,21 @@ def _temporal_kernel_q(x_ref, shift_ref, scale_ref, gate_ref, qkvq_ref,
     x = x_ref[:]
     NS, D = x.shape
 
-    x32, mod = _ln_modulate32(x_ref, shift_ref, scale_ref, ln_eps, mod_eps)
+    x32, mod = _ln_modulate32(x_ref, shift_ref, scale_ref, ln_eps, mod_eps,
+                              seq_len)
     qkv = _qdot(mod, qkvq_ref, qkvs_ref)
     q, k, v = qkv[:, :D], qkv[:, D:2 * D], qkv[:, 2 * D:]
 
     attn_out = _temporal_attention_core(
-        q, k, v, cos_ref[:], sin_ref[:], rot_ref[:], seg_ref[:], bias_ref,
-        x.dtype, num_heads, n_frames, n_batches, seq_len,
+        q, k, v, _rows_from_frames(cos_ref[:], seq_len),
+        _rows_from_frames(sin_ref[:], seq_len), rot_ref[:], seg_ref[:],
+        bias_ref, x.dtype, num_heads, n_frames, n_batches, seq_len,
         kv_out=None if k_ref is None else (k_ref, v_ref),
     )
 
     y = _qdot(attn_out, outq_ref, outs_ref)
     y = y + outb_ref[0].astype(jnp.float32)
-    g = gate_ref[:].astype(jnp.float32)
+    g = _rows_from_frames(gate_ref[:].astype(jnp.float32), seq_len)
     o_ref[:] = (x32 + g * y).astype(o_ref.dtype)
 
 
@@ -139,17 +143,20 @@ def _temporal_step_kernel_q(x_ref, shift_ref, scale_ref, gate_ref, qkvq_ref,
 
     x = x_ref[:]
     NS, D = x.shape
-    x32, mod = _ln_modulate32(x_ref, shift_ref, scale_ref, ln_eps, mod_eps)
+    x32, mod = _ln_modulate32(x_ref, shift_ref, scale_ref, ln_eps, mod_eps,
+                              seq_len)
     qkv = _qdot(mod, qkvq_ref, qkvs_ref)
     q, k, v = qkv[:, :D], qkv[:, D:2 * D], qkv[:, 2 * D:]
     attn_out = _temporal_step_core(
-        q, k, v, kctx_ref[:], vctx_ref[:], cos_ref[:], sin_ref[:],
+        q, k, v, kctx_ref[:], vctx_ref[:],
+        _rows_from_frames(cos_ref[:], seq_len),
+        _rows_from_frames(sin_ref[:], seq_len),
         rot_ref[:], seg_ref[:], bias_ref, x.dtype, num_heads, n_ctx,
         n_batches, seq_len,
     )
     y = _qdot(attn_out, outq_ref, outs_ref)
     y = y + outb_ref[0].astype(jnp.float32)
-    g = gate_ref[:].astype(jnp.float32)
+    g = _rows_from_frames(gate_ref[:].astype(jnp.float32), seq_len)
     o_ref[:] = (x32 + g * y).astype(o_ref.dtype)
 
 
@@ -168,11 +175,10 @@ def fused_temporal_step_q(x, shift, scale, gate, qkv_q, qkv_s, out_q, out_s,
     )
     cos_t = jnp.cos(rope_freqs.astype(jnp.float32))
     sin_t = jnp.sin(rope_freqs.astype(jnp.float32))
-    cos = jnp.tile(jnp.repeat(cos_t[T - 1:T], S, axis=0), (B, num_heads))
-    sin = jnp.tile(jnp.repeat(sin_t[T - 1:T], S, axis=0), (B, num_heads))
+    # per-batch (B, D) last-slot tables; the kernel broadcasts to token rows
+    cos = jnp.tile(cos_t[T - 1:T], (B, num_heads))
+    sin = jnp.tile(sin_t[T - 1:T], (B, num_heads))
     xf = x.reshape(B * S, D)
-    expand = lambda vv: jnp.repeat(vv, S, axis=0)  # noqa: E731
-    shift, scale, gate = expand(shift), expand(scale), expand(gate)
     out_b = out_b.reshape(1, -1)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     out = pl.pallas_call(
@@ -193,18 +199,19 @@ def fused_temporal_step_q(x, shift, scale, gate, qkv_q, qkv_s, out_q, out_s,
 
 
 def _mlp_kernel_q(x_ref, shift_ref, scale_ref, gate_ref, w1q_ref, w1s_ref,
-                  b1_ref, w2q_ref, w2s_ref, b2_ref, o_ref, *, ln_eps,
-                  mod_eps, approx_gelu):
+                  b1_ref, w2q_ref, w2s_ref, b2_ref, o_ref, *, seq_len,
+                  ln_eps, mod_eps, approx_gelu):
     """W8A8 twin of gtax.kernels.block._mlp_kernel (shared LN/modulate):
     both MLP GEMMs int8; the hidden activation re-quantizes per row after
     the fp32 GELU."""
-    x32, mod = _ln_modulate32(x_ref, shift_ref, scale_ref, ln_eps, mod_eps)
+    x32, mod = _ln_modulate32(x_ref, shift_ref, scale_ref, ln_eps, mod_eps,
+                              seq_len)
 
     h = _qdot(mod, w1q_ref, w1s_ref) + b1_ref[0].astype(jnp.float32)
     h = jax.nn.gelu(h, approximate=approx_gelu)
     y = _qdot(h, w2q_ref, w2s_ref) + b2_ref[0].astype(jnp.float32)
 
-    g = gate_ref[:].astype(jnp.float32)
+    g = _rows_from_frames(gate_ref[:].astype(jnp.float32), seq_len)
     o_ref[:] = (x32 + g * y).astype(o_ref.dtype)
 
 
@@ -223,10 +230,10 @@ def fused_spatial_branch_q(x, shift, scale, gate, qkv_q, qkv_s, out_q, out_s,
     R = jnp.asarray(rotate_half_matrix(d))
     out_b = out_b.reshape(1, -1)
     xf = x.reshape(N * S, D)
-    expand = lambda v: jnp.repeat(v, S, axis=0)  # noqa: E731
-    shift, scale, gate = expand(shift), expand(scale), expand(gate)
     row_spec = pl.BlockSpec((tile_rows, D), lambda c: (c, 0),
                             memory_space=pltpu.VMEM)
+    frame_spec = pl.BlockSpec((fpt, D), lambda c: (c, 0),
+                              memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     rot = rope_freqs.shape[-1]
     out = pl.pallas_call(
@@ -237,7 +244,7 @@ def fused_spatial_branch_q(x, shift, scale, gate, qkv_q, qkv_s, out_q, out_s,
         out_shape=jax.ShapeDtypeStruct(xf.shape, x.dtype),
         grid=(n_tiles,),
         in_specs=[
-            row_spec, row_spec, row_spec, row_spec,  # x, shift, scale, gate
+            row_spec, frame_spec, frame_spec, frame_spec,  # x + adaLN vecs
             full, full, full, full, full,            # qkv_q/s, out_q/s, out_b
             pl.BlockSpec((tile_rows, rot), lambda c: (c, 0),
                          memory_space=pltpu.VMEM),   # cos
@@ -269,14 +276,14 @@ def fused_temporal_branch_q(x, shift, scale, gate, qkv_q, qkv_s, out_q,
     )
 
     xf = x.reshape(N * S, D)
-    expand = lambda vv: jnp.repeat(vv, S, axis=0)  # noqa: E731
-    shift, scale, gate = expand(shift), expand(scale), expand(gate)
     out_b = out_b.reshape(1, -1)
     b_pt = _frames_per_tile(B, T * S)
     n_tiles = B // b_pt
     tile_rows = b_pt * T * S
     row_spec = pl.BlockSpec((tile_rows, D), lambda c: (c, 0),
                             memory_space=pltpu.VMEM)
+    frame_spec = pl.BlockSpec((b_pt * T, D), lambda c: (c, 0),
+                              memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     one = jax.ShapeDtypeStruct(xf.shape, x.dtype)
     out = pl.pallas_call(
@@ -287,9 +294,9 @@ def fused_temporal_branch_q(x, shift, scale, gate, qkv_q, qkv_s, out_q,
         out_shape=(one, one, one) if emit_kv else one,
         grid=(n_tiles,),
         in_specs=[
-            row_spec, row_spec, row_spec, row_spec,  # x, shift, scale, gate
+            row_spec, frame_spec, frame_spec, frame_spec,  # x + adaLN vecs
             full, full, full, full, full,            # qkv_q/s, out_q/s, out_b
-            row_spec, row_spec,                      # cos, sin (per-row)
+            frame_spec, frame_spec,                  # cos, sin (per-frame)
             full, full,                              # R, seg
             pl.BlockSpec(memory_space=pltpu.SMEM),   # bias (T, T)
         ],
@@ -311,8 +318,6 @@ def fused_mlp_branch_q(x, shift, scale, gate, w1_q, w1_s, b1, w2_q, w2_s,
     N, S, D = x.shape
     H = w1_q.shape[1]
     xf = x.reshape(N * S, D)
-    expand = lambda v: jnp.repeat(v, S, axis=0)  # noqa: E731
-    shift, scale, gate = expand(shift), expand(scale), expand(gate)
     b1 = b1.reshape(1, H)
     b2 = b2.reshape(1, D)
     fpt = _frames_per_tile(N, S)
@@ -320,14 +325,17 @@ def fused_mlp_branch_q(x, shift, scale, gate, w1_q, w1_s, b1, w2_q, w2_s,
     tile_rows = fpt * S
     row_spec = pl.BlockSpec((tile_rows, D), lambda c: (c, 0),
                             memory_space=pltpu.VMEM)
+    frame_spec = pl.BlockSpec((fpt, D), lambda c: (c, 0),
+                              memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(
-            _mlp_kernel_q, ln_eps=1e-6, mod_eps=1e-6, approx_gelu=approx_gelu,
+            _mlp_kernel_q, seq_len=S, ln_eps=1e-6, mod_eps=1e-6,
+            approx_gelu=approx_gelu,
         ),
         out_shape=jax.ShapeDtypeStruct(xf.shape, x.dtype),
         grid=(n_tiles,),
-        in_specs=[row_spec, row_spec, row_spec, row_spec,
+        in_specs=[row_spec, frame_spec, frame_spec, frame_spec,
                   full, full, full, full, full, full],
         out_specs=row_spec,
         interpret=interpret_mode(),

@@ -46,8 +46,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from gtax.kernels.attention import interpret_mode
-from gtax.kernels.block import (_rope_rotate, rotate_half_matrix,
-                                temporal_preamble)
+from gtax.kernels.block import (_rope_rotate, _rows_from_frames,
+                                rotate_half_matrix, temporal_preamble)
 
 _STACK_PARAMS = pltpu.CompilerParams(
     dimension_semantics=("arbitrary", "arbitrary"),
@@ -163,8 +163,8 @@ def _stack_kernel(x_ref, adaln_ref, attn_hbm, mlp_hbm, spcos_ref,
         w = attn_buf[:]
         qkv = jnp.dot(mod, w[:, :3 * D], preferred_element_type=jnp.float32)
         q, k, v = qkv[:, :D], qkv[:, D:2 * D], qkv[:, 2 * D:]
-        cos = tcos_ref[:]  # (rows, D) f32
-        sin = tsin_ref[:]
+        cos = _rows_from_frames(tcos_ref[:], S)  # (F, D) -> (rows, D) f32
+        sin = _rows_from_frames(tsin_ref[:], S)
         R = tR_ref[:]      # (d, d) per-head rotate-half permutation
         seg = tseg_ref[:]  # (D, h)
         qr = _rope_rotate(q, cos, sin, R).astype(dt)

@@ -42,7 +42,8 @@ def _kernel_abl(x_ref, shift_ref, scale_ref, gate_ref, qkvq_ref, qkvs_ref,
     S = seq_len
     d = D // num_heads
 
-    x32, mod = _ln_modulate32(x_ref, shift_ref, scale_ref, ln_eps, mod_eps)
+    x32, mod = _ln_modulate32(x_ref, shift_ref, scale_ref, ln_eps, mod_eps,
+                              seq_len)
     qkv = _qdot(mod, qkvq_ref, qkvs_ref)
     q, k, v = qkv[:, :D], qkv[:, D:2 * D], qkv[:, 2 * D:]
 
@@ -86,7 +87,8 @@ def _kernel_abl(x_ref, shift_ref, scale_ref, gate_ref, qkvq_ref, qkvs_ref,
 
     y = _qdot(attn_out, outq_ref, outs_ref)
     y = y + outb_ref[0].astype(jnp.float32)
-    g = gate_ref[:].astype(jnp.float32)
+    from gtax.kernels.block import _rows_from_frames
+    g = _rows_from_frames(gate_ref[:].astype(jnp.float32), seq_len)
     o_ref[:] = (x32 + g * y).astype(o_ref.dtype)
 
 
@@ -100,6 +102,8 @@ def build(variant, N, S, D, num_heads):
              cos, sin, R):
         row = pl.BlockSpec((N * S, D), lambda c: (c, 0),
                            memory_space=pltpu.VMEM)
+        frame = pl.BlockSpec((N, D), lambda c: (c, 0),
+                             memory_space=pltpu.VMEM)
         full = pl.BlockSpec(memory_space=pltpu.VMEM)
         rot = cos.shape[-1]
         return pl.pallas_call(
@@ -110,7 +114,7 @@ def build(variant, N, S, D, num_heads):
             ),
             out_shape=jax.ShapeDtypeStruct(xf.shape, xf.dtype),
             grid=(1,),
-            in_specs=[row, row, row, row, full, full, full, full, full,
+            in_specs=[row, frame, frame, frame, full, full, full, full, full,
                       pl.BlockSpec((N * S, rot), lambda c: (c, 0),
                                    memory_space=pltpu.VMEM),
                       pl.BlockSpec((N * S, rot), lambda c: (c, 0),
@@ -135,9 +139,9 @@ def main():
     key = jax.random.PRNGKey(0)
     ks = jax.random.split(key, 8)
     xf = jax.random.normal(ks[0], (N * S, D), jnp.bfloat16)
-    shift = jax.random.normal(ks[1], (N * S, D), jnp.bfloat16)
-    scale = jax.random.normal(ks[2], (N * S, D), jnp.bfloat16)
-    gate = jax.random.normal(ks[3], (N * S, D), jnp.bfloat16)
+    shift = jax.random.normal(ks[1], (N, D), jnp.bfloat16)
+    scale = jax.random.normal(ks[2], (N, D), jnp.bfloat16)
+    gate = jax.random.normal(ks[3], (N, D), jnp.bfloat16)
     qkv_q, qkv_s = quantize_weight(
         jax.random.normal(ks[4], (D, 3 * D)) * 0.02)
     out_q, out_s = quantize_weight(jax.random.normal(ks[5], (D, D)) * 0.02)
