@@ -283,3 +283,84 @@ def test_fused_backend_with_valid_mask(golden):
         nnattn.set_backend("xla")
     ref2 = dit_apply(params, DIT_SMALL, x, t, acts, compute_dtype=jnp.float32)
     assert_close(out2, ref2, atol=5e-4, rtol=1e-3)
+
+
+def test_fused_branches_multi_tile_grid():
+    """Training-shape grids: enough frames that _frames_per_tile picks
+    fpt > 1 AND n_tiles > 1, exercising the per-frame (F, D) BlockSpec
+    tiling of adaLN vectors / rope tables (round-2 per-frame kernel
+    inputs) against the pure-XLA branch math."""
+    from gtax.kernels.block import (_frames_per_tile, fused_mlp_branch,
+                                    fused_spatial_branch,
+                                    fused_temporal_branch)
+    from gtax.nn.branches import (xla_mlp_branch, xla_spatial_branch,
+                                  xla_temporal_branch)
+
+    N, S, D, H = 8, 128, 256, 4
+    d = D // H
+    assert _frames_per_tile(N, S) == 4  # 2 tiles x 4 frames (spatial/mlp)
+    ks = jax.random.split(jax.random.PRNGKey(7), 12)
+    x = jax.random.normal(ks[0], (N, S, D), jnp.float32)
+    sh = jax.random.normal(ks[1], (N, D), jnp.float32) * 0.1
+    sc = jax.random.normal(ks[2], (N, D), jnp.float32) * 0.1
+    g = jax.random.normal(ks[3], (N, D), jnp.float32) * 0.1
+    qkv_w = jax.random.normal(ks[4], (D, 3 * D), jnp.float32) * 0.05
+    out_w = jax.random.normal(ks[5], (D, D), jnp.float32) * 0.05
+    out_b = jax.random.normal(ks[6], (D,), jnp.float32) * 0.05
+    sfreqs = jax.random.normal(ks[7], (S, d), jnp.float32)
+
+    out = fused_spatial_branch(x, sh, sc, g, qkv_w, out_w, out_b, sfreqs, H)
+    ref = xla_spatial_branch(x, sh, sc, g, qkv_w, out_w, out_b, sfreqs, H,
+                             jnp.float32)
+    assert_close(out, ref, atol=2e-4, rtol=1e-4)
+
+    # temporal: B=8 batch elements, T=4 frames -> 8 single-batch tiles
+    T = 4
+    B = N // T * 4  # 8
+    xt = jax.random.normal(ks[8], (B * T, S, D), jnp.float32)
+    sht = jnp.tile(sh, (B * T // N, 1))
+    tfreqs = jax.random.normal(ks[9], (T, d), jnp.float32)
+    valid = jnp.asarray([False, True, True, True])
+    outt = fused_temporal_branch(xt, sht, sc.repeat(B * T // N, 0),
+                                 g.repeat(B * T // N, 0), qkv_w, out_w,
+                                 out_b, tfreqs, valid, H, T)
+    reft = xla_temporal_branch(xt, sht, sc.repeat(B * T // N, 0),
+                               g.repeat(B * T // N, 0), qkv_w, out_w, out_b,
+                               tfreqs, valid, H, T, jnp.float32)
+    assert_close(outt, reft, atol=2e-4, rtol=1e-4)
+
+    w1 = jax.random.normal(ks[10], (D, 4 * D), jnp.float32) * 0.05
+    w2 = jax.random.normal(ks[11], (4 * D, D), jnp.float32) * 0.05
+    b1 = jnp.zeros((4 * D,))
+    b2 = jnp.zeros((D,))
+    outm = fused_mlp_branch(x, sh, sc, g, w1, b1, w2, b2)
+    refm = xla_mlp_branch(x, sh, sc, g, w1, b1, w2, b2, jnp.float32)
+    assert_close(outm, refm, atol=2e-4, rtol=1e-4)
+
+
+def test_quant_branches_tiling_consistent():
+    """The int8 wrappers must give BIT-IDENTICAL results whether a frame
+    batch runs as one tile or across a multi-tile grid (per-row dynamic
+    quantization and per-frame attention are tile-local)."""
+    from gtax.kernels.quant import (fused_spatial_branch_q, quantize_weight)
+
+    N, S, D, H = 8, 128, 256, 4
+    d = D // H
+    ks = jax.random.split(jax.random.PRNGKey(11), 8)
+    x = jax.random.normal(ks[0], (N, S, D), jnp.bfloat16)
+    sh = (jax.random.normal(ks[1], (N, D)) * 0.1).astype(jnp.bfloat16)
+    sc = (jax.random.normal(ks[2], (N, D)) * 0.1).astype(jnp.bfloat16)
+    g = (jax.random.normal(ks[3], (N, D)) * 0.1).astype(jnp.bfloat16)
+    qkv_q, qkv_s = quantize_weight(jax.random.normal(ks[4], (D, 3 * D)) * .05)
+    out_q, out_s = quantize_weight(jax.random.normal(ks[5], (D, D)) * .05)
+    out_b = jnp.zeros((D,), jnp.float32)
+    sfreqs = jax.random.normal(ks[6], (S, d), jnp.float32)
+
+    whole = fused_spatial_branch_q(x, sh, sc, g, qkv_q, qkv_s, out_q, out_s,
+                                   out_b, sfreqs, H)  # 2 tiles x 4 frames
+    half0 = fused_spatial_branch_q(x[:4], sh[:4], sc[:4], g[:4], qkv_q,
+                                   qkv_s, out_q, out_s, out_b, sfreqs, H)
+    half1 = fused_spatial_branch_q(x[4:], sh[4:], sc[4:], g[4:], qkv_q,
+                                   qkv_s, out_q, out_s, out_b, sfreqs, H)
+    np.testing.assert_array_equal(np.asarray(whole),
+                                  np.asarray(jnp.concatenate([half0, half1])))
