@@ -221,5 +221,39 @@ def main():
     return result
 
 
+def _wait_for_backend(attempts=8, delay_s=30, probe_timeout_s=180):
+    """The tunnelled TPU backend can be transiently unavailable (the relay
+    worker restarts after crashes) and its init can HANG rather than raise,
+    so probe jax.devices() in a SUBPROCESS with a hard timeout, retrying,
+    before the real run — a flake shouldn't turn the benchmark into a
+    traceback or a silent hang."""
+    import subprocess
+
+    err = "unknown"
+    for i in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                capture_output=True, text=True, timeout=probe_timeout_s,
+            )
+            if r.returncode == 0:
+                return None
+            err = (r.stderr or r.stdout).strip().splitlines()[-1:] or ["?"]
+            err = err[0]
+        except subprocess.TimeoutExpired:
+            err = f"jax.devices() probe hung > {probe_timeout_s}s"
+        if i + 1 < attempts:
+            time.sleep(delay_s)
+    return err
+
+
 if __name__ == "__main__":
+    _err = _wait_for_backend()
+    if _err is not None:
+        print(json.dumps({"metric": "generation_throughput", "value": None,
+                          "unit": "frames/sec", "vs_baseline": None,
+                          "error": f"accelerator backend unavailable: "
+                                   f"{_err[:200]}"}))
+        sys.exit(1)
     sys.exit(0 if main() else 1)
