@@ -238,22 +238,24 @@ def test_cond_cache_rollout_exact(dit_small_params):
     )
 
 
-def test_incremental_rollout_matches_fused(dit_small_params):
+@pytest.mark.parametrize("batch", [1, 2])
+def test_incremental_rollout_matches_fused(dit_small_params, batch):
     """Incremental decoding vs the full-window fused-backend rollout on the
     golden small checkpoint (fp32, interpret-mode kernels): the context
     prefill + last-frame steps must reproduce the exact scheme. Covers the
-    short-prompt (masked padded slots) case too."""
+    short-prompt (masked padded slots) case and batched serving (B=2,
+    exercising the step kernels' n_batches path)."""
     from gtax.models.dit import (make_cond_fns, make_incremental_fns,
                                  unstack_for_inference)
     from gtax.nn import attention as nnattn
 
     unstacked = unstack_for_inference(dit_small_params, DIT_SMALL)
     prompt = jnp.asarray(
-        np.random.default_rng(3).normal(size=(1, 2, 16, 18, 32)) * 0.1,
+        np.random.default_rng(3).normal(size=(batch, 2, 16, 18, 32)) * 0.1,
         jnp.float32,
     )
     acts = jnp.asarray(
-        np.random.default_rng(4).normal(size=(1, 8, 25)), jnp.float32
+        np.random.default_rng(4).normal(size=(batch, 8, 25)), jnp.float32
     )
     sam = sd.SamplerConfig(ddim_noise_steps=4, stabilization_level=15)
     cond = make_cond_fns(DIT_SMALL, jnp.float32)
