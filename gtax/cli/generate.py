@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 from gtax.utils.platform import honor_env_platform
@@ -50,6 +51,12 @@ def build_parser():
     p.add_argument("--noise_steps", type=int, default=100)
     p.add_argument("--use_actions", action="store_true")
     p.add_argument("--output_path", type=str, default="video1.mp4")
+    p.add_argument("--batch", type=int, default=1,
+                   help="batched serving: generate N videos of the same "
+                        "prompt in ONE rollout (independent noise per "
+                        "stream; weights/compile amortised — throughput "
+                        "mode, docs/PERF.md). N>1 writes "
+                        "<output_path stem>_i.<ext> per stream")
     p.add_argument("--start_frame", type=str, default=None)
     p.add_argument("--dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "float32"])
@@ -204,6 +211,13 @@ def main(argv=None):
         else:
             actions = None
 
+    if args.batch > 1:
+        # batched serving: replicate the prompt across streams; each stream
+        # draws independent rollout noise via the batch dimension
+        video = np.tile(np.asarray(video), (args.batch, 1, 1, 1, 1))
+        if actions is not None:
+            actions = jnp.tile(actions, (args.batch, 1, 1))
+
     def dit_fn(params, x, t, a, valid):
         return dit_apply(params, dit_cfg, x, t, a, valid, compute_dtype=dtype)
 
@@ -254,15 +268,23 @@ def main(argv=None):
     gen_seconds = time.perf_counter() - t0
 
     pixels = decode(vae_params, lat)
-    pixels = np.asarray(pixels[0])
-    write_video(args.output_path, pixels, fps=10)
-    print(f"generation saved to {args.output_path}.")
+    if args.batch == 1:
+        pixels = np.asarray(pixels[0])
+        write_video(args.output_path, pixels, fps=10)
+        print(f"generation saved to {args.output_path}.")
+    else:
+        stem, ext = os.path.splitext(args.output_path)
+        pixels = np.asarray(pixels)
+        for i in range(args.batch):
+            write_video(f"{stem}_{i}{ext}", pixels[i], fps=10)
+        print(f"{args.batch} generations saved to {stem}_*{ext}.")
     if args.benchmark_json:
+        gen = (total_frames - n_prompt) * args.batch
         print(json.dumps({
-            "generated_frames": total_frames - n_prompt,
+            "generated_frames": gen,
             "noise_steps": args.noise_steps,
             "seconds": gen_seconds,
-            "frames_per_sec": (total_frames - n_prompt) / gen_seconds,
+            "frames_per_sec": gen / gen_seconds,
         }))
     return pixels
 
