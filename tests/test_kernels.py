@@ -329,6 +329,19 @@ def test_fused_branches_multi_tile_grid():
                                tfreqs, valid, H, T, jnp.float32)
     assert_close(outt, reft, atol=2e-4, rtol=1e-4)
 
+    # temporal again at a shape where MULTIPLE batch elements share a tile
+    # (b_pt=2, 4 tiles): S=64 -> T*S=256 rows, _frames_per_tile(8, 256)=2
+    S2 = 64
+    xt2 = jax.random.normal(ks[8], (B * T, S2, D), jnp.float32)
+    tf2 = jax.random.normal(ks[9], (T, d), jnp.float32)
+    outt2 = fused_temporal_branch(xt2, sht, sc.repeat(B * T // N, 0),
+                                  g.repeat(B * T // N, 0), qkv_w, out_w,
+                                  out_b, tf2, valid, H, T)
+    reft2 = xla_temporal_branch(xt2, sht, sc.repeat(B * T // N, 0),
+                                g.repeat(B * T // N, 0), qkv_w, out_w,
+                                out_b, tf2, valid, H, T, jnp.float32)
+    assert_close(outt2, reft2, atol=2e-4, rtol=1e-4)
+
     w1 = jax.random.normal(ks[10], (D, 4 * D), jnp.float32) * 0.05
     w2 = jax.random.normal(ks[11], (4 * D, D), jnp.float32) * 0.05
     b1 = jnp.zeros((4 * D,))
