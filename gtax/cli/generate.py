@@ -23,9 +23,10 @@ import json
 import os
 import time
 
-from gtax.utils.platform import honor_env_platform
+from gtax.utils.platform import enable_compile_cache, honor_env_platform
 
 honor_env_platform()  # must precede any jax device use
+enable_compile_cache()
 
 import jax
 import jax.numpy as jnp

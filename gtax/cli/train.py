@@ -14,9 +14,10 @@ from __future__ import annotations
 import argparse
 import logging
 
-from gtax.utils.platform import honor_env_platform
+from gtax.utils.platform import enable_compile_cache, honor_env_platform
 
 honor_env_platform()  # must precede any jax device use
+enable_compile_cache()
 
 
 def main(argv=None):
