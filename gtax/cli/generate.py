@@ -103,6 +103,13 @@ def build_parser():
                         "ICI). Forces the xla attention backend — the Pallas "
                         "megakernels are single-chip. Incompatible with "
                         "--quantize int8.")
+    p.add_argument("--mesh_data", type=int, default=1,
+                   help="data-parallel BATCHED serving over N devices: "
+                        "shard_map runs one full single-chip rollout per "
+                        "device over its slice of --batch (which must "
+                        "divide by N) — the fastest single-chip path (int8 "
+                        "+ fused + incremental) scales to ~N x aggregate "
+                        "frames/sec. Mutually exclusive with --mesh_model.")
     p.add_argument("--dit_model", type=str, default="DiT-S/2",
                    help="model preset (gtax.models.dit.DiT_MODELS); "
                         "'DiT-debug' + empty --dit_model_path gives a "
@@ -154,6 +161,10 @@ def main(argv=None):
 
         dit_params = quantize_for_inference(dit_params, dit_cfg)
 
+    assert not (args.mesh_model > 1 and args.mesh_data > 1), (
+        "--mesh_model and --mesh_data are mutually exclusive serving modes")
+    assert args.batch % max(args.mesh_data, 1) == 0, (
+        f"--batch {args.batch} must divide over --mesh_data {args.mesh_data}")
     mesh = None
     if args.mesh_model > 1:
         # multi-chip tensor-parallel serving: shard block weights over
@@ -262,9 +273,25 @@ def main(argv=None):
         rollout = make_rollout(dit_fn, dit_cfg.max_frames, sampler, pab=pab,
                                cond=cond, incremental=incremental)
 
+    if args.mesh_data > 1:
+        # data-parallel batched serving: one full single-chip rollout per
+        # device over its batch slice (shard_map; Pallas kernels unchanged)
+        from gtax.parallel import mesh as meshlib
+
+        dp_mesh = meshlib.make_mesh(
+            meshlib.MeshConfig(data=args.mesh_data, model=1),
+            devices=jax.devices()[: args.mesh_data],
+        )
+        run = meshlib.data_parallel_rollout(
+            rollout, dp_mesh, num_gen_frames=total_frames - n_prompt)
+        lat_fn = lambda: run(dit_params, latents, actions, rng)  # noqa: E731
+    else:
+        lat_fn = lambda: rollout(  # noqa: E731
+            dit_params, latents, actions, rng,
+            num_gen_frames=total_frames - n_prompt)
+
     t0 = time.perf_counter()
-    lat = rollout(dit_params, latents, actions, rng,
-                  num_gen_frames=total_frames - n_prompt)
+    lat = lat_fn()
     lat.block_until_ready()
     gen_seconds = time.perf_counter() - t0
 
