@@ -28,18 +28,11 @@ from gtax.utils.platform import enable_compile_cache, honor_env_platform
 honor_env_platform()  # must precede any jax device use
 enable_compile_cache()
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
 from gtax.data.actions import forward_actions
-from gtax.io import safetensors_port as port
 from gtax.io.video import read_image, write_video
-from gtax.models.dit import DiT_MODELS, dit_apply
-from gtax.models.vae import VAE_MODELS
-from gtax.nn import attention as attention_mod
-from gtax.sampling.diffusion import SamplerConfig, make_rollout
-from gtax.train.trainer import decode_frames, encode_frames
 
 
 def build_parser():
@@ -122,77 +115,30 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    attention_mod.set_backend(args.attention_backend)
-    dtype = jnp.dtype(args.dtype)
+    from gtax.serving import ServingConfig, VideoGenerator
 
-    dit_cfg = DiT_MODELS[args.dit_model]()
-    vae_cfg = VAE_MODELS[args.vae_model]()
-    if args.dit_model_path:
-        dit_params = port.load_dit(args.dit_model_path, dit_cfg)
-    else:  # checkpoint-free smoke path (random weights)
-        from gtax.models.dit import dit_init
-
-        dit_params = jax.jit(lambda k: dit_init(k, dit_cfg))(
-            jax.random.PRNGKey(0))
-    if args.vae_model_path:
-        vae_params = port.load_vae(args.vae_model_path, vae_cfg)
-    else:
-        from gtax.models.vae import vae_init
-
-        vae_params = jax.jit(lambda k: vae_init(k, vae_cfg))(
-            jax.random.PRNGKey(1))
-    if dtype != jnp.float32:
-        from gtax.models.dit import cast_params_for_inference
-
-        dit_params = jax.jit(
-            lambda p: cast_params_for_inference(p, dtype)
-        )(dit_params)
-    if not args.no_unstack:
-        # serving layout: per-block weight pytrees eliminate the block scan's
-        # weight slice copies (~25% faster forward; docs/PERF.md) at the cost
-        # of a longer first compile
-        from gtax.models.dit import unstack_for_inference
-
-        dit_params = unstack_for_inference(dit_params, dit_cfg)
-    if args.quantize == "int8":
-        # W8A8 serving: int8 block GEMMs on the MXU (2x bf16 rate on v5e);
-        # quality-gated in docs/quant_quality.json
-        from gtax.models.dit import quantize_for_inference
-
-        dit_params = quantize_for_inference(dit_params, dit_cfg)
-
-    assert not (args.mesh_model > 1 and args.mesh_data > 1), (
-        "--mesh_model and --mesh_data are mutually exclusive serving modes")
     assert args.batch % max(args.mesh_data, 1) == 0, (
         f"--batch {args.batch} must divide over --mesh_data {args.mesh_data}")
-    mesh = None
-    if args.mesh_model > 1:
-        # multi-chip tensor-parallel serving: shard block weights over
-        # 'model', replicate everything else; the existing jitted rollout is
-        # partitioned by GSPMD (computation follows the param placement)
-        assert args.quantize != "int8", (
-            "--mesh_model: the int8 Pallas kernels are single-chip; "
-            "use the bf16 xla path for TP serving"
-        )
-        attention_mod.set_backend("xla")
-        from gtax.parallel import mesh as meshlib
-
-        mesh = meshlib.make_mesh(
-            meshlib.MeshConfig(data=1, model=args.mesh_model),
-            devices=jax.devices()[: args.mesh_model],
-        )
-        dit_params = jax.device_put(
-            dit_params, meshlib.param_sharding(mesh, dit_params)
-        )
+    cfg = ServingConfig(
+        dtype=args.dtype,
+        attention_backend=args.attention_backend,
+        quantize=args.quantize,
+        unstack=not args.no_unstack,
+        cond_cache=not args.no_cond_cache,
+        incremental=not args.no_incremental,
+        pipeline_depth=args.pipeline_depth,
+        attn_broadcast=args.attn_broadcast,
+        noise_steps=args.noise_steps,
+        mesh_data=args.mesh_data,
+        mesh_model=args.mesh_model,
+        dit_model=args.dit_model,
+        vae_model=args.vae_model,
+    )
+    gen = VideoGenerator.load(args.dit_model_path, args.vae_model_path, cfg)
+    dit_cfg, vae_cfg = gen.dit_cfg, gen.vae_cfg
 
     total_frames = args.total_frames
     n_prompt = 4 if args.start_frame is None else 1
-    sampler = SamplerConfig(
-        ddim_noise_steps=args.noise_steps,
-        stabilization_level=15,          # reference generate.py:138
-        schedule_clamp_min=1e-4,         # reference uses the default here
-        attn_broadcast=args.attn_broadcast,
-    )
     print(f"We will generate {total_frames} frames, starting with "
           f"{n_prompt} frames.")
     print(f"Noise steps: {args.noise_steps}; stabilization 15; "
@@ -230,72 +176,12 @@ def main(argv=None):
         if actions is not None:
             actions = jnp.tile(actions, (args.batch, 1, 1))
 
-    def dit_fn(params, x, t, a, valid):
-        return dit_apply(params, dit_cfg, x, t, a, valid, compute_dtype=dtype)
-
     seed = args.seed if args.seed is not None else int(time.time())
-    rng = jax.random.PRNGKey(seed)
-
-    encode = jax.jit(lambda vp, v: encode_frames(vp, vae_cfg, v, dtype))
-    decode = jax.jit(lambda vp, lat: decode_frames(vp, vae_cfg, lat, dtype))
-    latents = encode(vae_params, jnp.asarray(video))
-    if mesh is not None:
-        from gtax.parallel.mesh import replicated
-
-        latents = jax.device_put(latents, replicated(mesh))
-        if actions is not None:
-            actions = jax.device_put(actions, replicated(mesh))
-    pab = None
-    if args.attn_broadcast > 1:
-        from gtax.models.dit import make_pab_fns
-
-        pab = make_pab_fns(dit_cfg, dtype)
-    if args.pipeline_depth > 1:
-        from gtax.sampling.diffusion import make_pipelined_rollout
-
-        rollout = make_pipelined_rollout(
-            dit_fn, dit_cfg.max_frames, sampler,
-            pipeline_depth=args.pipeline_depth, pab=pab,
-        )
-    else:
-        cond = None
-        incremental = None
-        if (args.attn_broadcast == 1 and not args.no_unstack
-                and not args.no_cond_cache and mesh is None):
-            from gtax.models.dit import make_cond_fns
-
-            cond = make_cond_fns(dit_cfg, dtype)
-            if not args.no_incremental and args.attention_backend in (
-                    "fused", "fused_all"):
-                from gtax.models.dit import make_incremental_fns
-
-                incremental = make_incremental_fns(dit_cfg, dtype)
-        rollout = make_rollout(dit_fn, dit_cfg.max_frames, sampler, pab=pab,
-                               cond=cond, incremental=incremental)
-
-    if args.mesh_data > 1:
-        # data-parallel batched serving: one full single-chip rollout per
-        # device over its batch slice (shard_map; Pallas kernels unchanged)
-        from gtax.parallel import mesh as meshlib
-
-        dp_mesh = meshlib.make_mesh(
-            meshlib.MeshConfig(data=args.mesh_data, model=1),
-            devices=jax.devices()[: args.mesh_data],
-        )
-        run = meshlib.data_parallel_rollout(
-            rollout, dp_mesh, num_gen_frames=total_frames - n_prompt)
-        lat_fn = lambda: run(dit_params, latents, actions, rng)  # noqa: E731
-    else:
-        lat_fn = lambda: rollout(  # noqa: E731
-            dit_params, latents, actions, rng,
-            num_gen_frames=total_frames - n_prompt)
 
     t0 = time.perf_counter()
-    lat = lat_fn()
-    lat.block_until_ready()
+    pixels = gen.generate(video, actions, num_frames=total_frames, seed=seed)
     gen_seconds = time.perf_counter() - t0
 
-    pixels = decode(vae_params, lat)
     if args.batch == 1:
         pixels = np.asarray(pixels[0])
         write_video(args.output_path, pixels, fps=10)

@@ -204,9 +204,18 @@ def data_parallel_rollout(rollout, mesh: Mesh, num_gen_frames: int):
         assert B % data == 0, (
             f"batch {B} must divide over the {data}-way 'data' mesh axis")
         params = jax.device_put(params, replicated(mesh))
-        prompt_latents = jax.device_put(prompt_latents, batch_sharding(mesh))
+        # multi-host meshes: each process contributes only its local rows of
+        # the (host-identical) global batch; single-host is a plain put
+        spec = batch_sharding(mesh)
+        if jax.process_count() > 1:
+            sl = process_batch_slice(B)
+            put = lambda a: jax.make_array_from_process_local_data(  # noqa
+                spec, np.asarray(a)[sl])
+        else:
+            put = lambda a: jax.device_put(a, spec)  # noqa: E731
+        prompt_latents = put(prompt_latents)
         if actions is not None:
-            actions = jax.device_put(actions, batch_sharding(mesh))
+            actions = put(actions)
         return jax.jit(sharded)(params, prompt_latents, actions, rng)
 
     return wrapped

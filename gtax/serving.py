@@ -1,0 +1,213 @@
+"""High-level serving API: load checkpoints once, generate videos in one
+call, with every serving feature (fused kernels, int8 W8A8, conditioning
+cache, incremental decoding, batched / multi-chip serving) behind a single
+config object.
+
+This is the library equivalent of `gtax.cli.generate` (which wraps it); the
+reference has no library surface at all — `generate.py` is script-only.
+
+    from gtax.serving import ServingConfig, VideoGenerator
+
+    gen = VideoGenerator.load("dit.safetensors", "vit-l-20.safetensors",
+                              ServingConfig(quantize="int8"))
+    frames = gen.generate(prompt_frames, actions, num_frames=32, seed=0)
+    # frames: (B, num_frames, H, W, 3) uint8 — ready for mp4 muxing
+
+Defaults reproduce the reference sampling scheme exactly (stabilization 15,
+window 5, DDIM over noise_steps+1 — /root/reference/generate.py:138-235);
+speed features that change semantics (pipeline_depth, attn_broadcast,
+quantize) are opt-in.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gtax.io import safetensors_port as port
+from gtax.models.dit import DiT_MODELS, dit_apply
+from gtax.models.vae import VAE_MODELS
+from gtax.nn import attention as attention_mod
+from gtax.sampling.diffusion import SamplerConfig, make_rollout
+from gtax.train.trainer import decode_frames, encode_frames
+
+
+@dataclasses.dataclass(frozen=True)
+class ServingConfig:
+    """Serving knobs; docs/SERVING.md explains each trade-off."""
+    dtype: str = "bfloat16"
+    attention_backend: str = "fused"   # xla | pallas | fused | fused_all
+    quantize: str = "none"             # none | int8 (W8A8 block GEMMs)
+    unstack: bool = True               # per-block serving weight layout
+    cond_cache: bool = True            # bit-exact adaLN trajectory precompute
+    incremental: bool = True           # context K/V prefill + last-frame steps
+    pipeline_depth: int = 1            # >1: pyramid-pipelined (approximate)
+    attn_broadcast: int = 1            # >1: attention broadcast (approximate)
+    noise_steps: int = 100
+    mesh_data: int = 1                 # >1: shard_map batched serving
+    mesh_model: int = 1                # >1: GSPMD tensor-parallel serving
+    dit_model: str = "DiT-S/2"
+    vae_model: str = "vit-l-20-shallow-encoder"
+
+
+class VideoGenerator:
+    """Holds prepared params + a compiled-on-first-use rollout."""
+
+    def __init__(self, dit_params, vae_params, cfg: ServingConfig):
+        assert not (cfg.mesh_model > 1 and cfg.mesh_data > 1), (
+            "mesh_model and mesh_data are mutually exclusive serving modes")
+        self.cfg = cfg
+        self.dit_cfg = DiT_MODELS[cfg.dit_model]()
+        self.vae_cfg = VAE_MODELS[cfg.vae_model]()
+        dtype = jnp.dtype(cfg.dtype)
+        self._dtype = dtype
+        attention_mod.set_backend(cfg.attention_backend)
+
+        if dtype != jnp.float32:
+            from gtax.models.dit import cast_params_for_inference
+
+            dit_params = jax.jit(
+                lambda p: cast_params_for_inference(p, dtype))(dit_params)
+        if cfg.unstack:
+            from gtax.models.dit import unstack_for_inference
+
+            dit_params = unstack_for_inference(dit_params, self.dit_cfg)
+        if cfg.quantize == "int8":
+            from gtax.models.dit import quantize_for_inference
+
+            dit_params = quantize_for_inference(dit_params, self.dit_cfg)
+
+        self._mesh = None
+        if cfg.mesh_model > 1:
+            assert cfg.quantize != "int8", (
+                "mesh_model: the int8 Pallas kernels are single-chip; "
+                "use the bf16 xla path for TP serving")
+            attention_mod.set_backend("xla")
+            from gtax.parallel import mesh as meshlib
+
+            self._mesh = meshlib.make_mesh(
+                meshlib.MeshConfig(data=1, model=cfg.mesh_model),
+                devices=jax.devices()[: cfg.mesh_model])
+            dit_params = jax.device_put(
+                dit_params, meshlib.param_sharding(self._mesh, dit_params))
+        self.dit_params = dit_params
+        self.vae_params = vae_params
+
+        sampler = SamplerConfig(
+            ddim_noise_steps=cfg.noise_steps,
+            stabilization_level=15,      # reference generate.py:138
+            schedule_clamp_min=1e-4,
+            attn_broadcast=cfg.attn_broadcast,
+        )
+
+        def dit_fn(params, x, t, a, valid):
+            return dit_apply(params, self.dit_cfg, x, t, a, valid,
+                             compute_dtype=dtype)
+
+        pab = None
+        if cfg.attn_broadcast > 1:
+            from gtax.models.dit import make_pab_fns
+
+            pab = make_pab_fns(self.dit_cfg, dtype)
+        if cfg.pipeline_depth > 1:
+            from gtax.sampling.diffusion import make_pipelined_rollout
+
+            self._rollout = make_pipelined_rollout(
+                dit_fn, self.dit_cfg.max_frames, sampler,
+                pipeline_depth=cfg.pipeline_depth, pab=pab)
+        else:
+            cond = incremental = None
+            if (cfg.attn_broadcast == 1 and cfg.unstack and cfg.cond_cache
+                    and self._mesh is None):
+                from gtax.models.dit import make_cond_fns
+
+                cond = make_cond_fns(self.dit_cfg, dtype)
+                if cfg.incremental and cfg.attention_backend in (
+                        "fused", "fused_all"):
+                    from gtax.models.dit import make_incremental_fns
+
+                    incremental = make_incremental_fns(self.dit_cfg, dtype)
+            self._rollout = make_rollout(
+                dit_fn, self.dit_cfg.max_frames, sampler, pab=pab,
+                cond=cond, incremental=incremental)
+
+        self._encode = jax.jit(
+            lambda vp, v: encode_frames(vp, self.vae_cfg, v, dtype))
+        self._decode = jax.jit(
+            lambda vp, lat: decode_frames(vp, self.vae_cfg, lat, dtype))
+
+    @classmethod
+    def load(cls, dit_path: str, vae_path: str,
+             cfg: ServingConfig = ServingConfig()):
+        """Load reference-format safetensors checkpoints (or pass empty
+        paths for random weights — debug presets drive a checkpoint-free
+        smoke path on any hardware)."""
+        dit_cfg = DiT_MODELS[cfg.dit_model]()
+        vae_cfg = VAE_MODELS[cfg.vae_model]()
+        if dit_path:
+            dit_params = port.load_dit(dit_path, dit_cfg)
+        else:
+            from gtax.models.dit import dit_init
+
+            dit_params = jax.jit(
+                lambda k: dit_init(k, dit_cfg))(jax.random.PRNGKey(0))
+        if vae_path:
+            vae_params = port.load_vae(vae_path, vae_cfg)
+        else:
+            from gtax.models.vae import vae_init
+
+            vae_params = jax.jit(
+                lambda k: vae_init(k, vae_cfg))(jax.random.PRNGKey(1))
+        return cls(dit_params, vae_params, cfg)
+
+    @functools.lru_cache(maxsize=8)
+    def _dp_runner(self, num_gen_frames: int):
+        from gtax.parallel import mesh as meshlib
+
+        dp_mesh = meshlib.make_mesh(
+            meshlib.MeshConfig(data=self.cfg.mesh_data, model=1),
+            devices=jax.devices()[: self.cfg.mesh_data])
+        return meshlib.data_parallel_rollout(
+            self._rollout, dp_mesh, num_gen_frames=num_gen_frames)
+
+    def generate(self, prompt_frames, actions=None, num_frames: int = 32,
+                 seed: int = 0, noise=None):
+        """prompt_frames: (B, T0, 3, H, W) float in [0, 1] (or (T0, 3, H, W)
+        for B=1); actions: (B, num_frames, 25) or None; returns
+        (B, num_frames, H, W, 3) uint8 pixels. num_frames counts prompt +
+        generated (reference --total-frames semantics)."""
+        video = jnp.asarray(prompt_frames)
+        if video.ndim == 4:
+            video = video[None]
+        B, n_prompt = video.shape[:2]
+        if self.cfg.mesh_data > 1:
+            assert B % self.cfg.mesh_data == 0, (
+                f"batch {B} must divide over mesh_data={self.cfg.mesh_data}")
+        if actions is not None:
+            actions = jnp.asarray(actions)
+            if actions.ndim == 2:
+                actions = actions[None]
+            assert actions.shape[1] >= num_frames, (
+                f"need actions for all {num_frames} frames")
+        latents = self._encode(self.vae_params, video)
+        if self._mesh is not None:
+            from gtax.parallel.mesh import replicated
+
+            latents = jax.device_put(latents, replicated(self._mesh))
+            if actions is not None:
+                actions = jax.device_put(actions, replicated(self._mesh))
+        rng = jax.random.PRNGKey(seed)
+        n_gen = num_frames - n_prompt
+        if self.cfg.mesh_data > 1:
+            assert noise is None, "pre-drawn noise is a single-mesh hook"
+            lat = self._dp_runner(n_gen)(self.dit_params, latents, actions,
+                                         rng)
+        else:
+            kw = {} if noise is None else {"noise": noise}
+            lat = self._rollout(self.dit_params, latents, actions, rng,
+                                num_gen_frames=n_gen, **kw)
+        return np.asarray(self._decode(self.vae_params, lat))
