@@ -27,6 +27,41 @@ def _free_port():
     return port
 
 
+def _run_workers(script, args, timeout=600):
+    port = _free_port()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    # children configure their own platform/device-count flags
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "tests", script),
+             str(pid), "2", str(port), *args],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=timeout)
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {pid} failed:\n{out[-4000:]}"
+    return outs
+
+
+@pytest.mark.slow
+def test_two_process_dp_serving():
+    """data_parallel_rollout on a 2-process (4-device) cluster: each process
+    feeds only its local batch rows; every addressable output shard equals a
+    single-device rollout of that slice with the shard's folded key."""
+    outs = _run_workers("_mh_dp_serving_worker.py", [])
+    for pid, out in enumerate(outs):
+        assert f"RANK {pid} DP-SERVING OK 2" in out, out[-2000:]
+
+
 @pytest.mark.slow
 def test_two_process_dp_train(tmp_path):
     port = _free_port()
