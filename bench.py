@@ -251,9 +251,17 @@ def _wait_for_backend(attempts=8, delay_s=30, probe_timeout_s=180):
 if __name__ == "__main__":
     _err = _wait_for_backend()
     if _err is not None:
-        print(json.dumps({"metric": "generation_throughput", "value": None,
-                          "unit": "frames/sec", "vs_baseline": None,
-                          "error": f"accelerator backend unavailable: "
-                                   f"{_err[:200]}"}))
+        print(json.dumps({
+            "metric": "generation_throughput", "value": None,
+            "unit": "frames/sec", "vs_baseline": None,
+            "error": f"accelerator backend unavailable: {_err[:200]}",
+            "last_measured_on_v5e": {
+                "fps": 8.86, "vs_baseline": 9.05,
+                "config": "default (int8 W8A8 + fused + incremental, "
+                          "reference-EXACT sampling)",
+                "source": "docs/PERF.md round-2 measurement; exact bf16 "
+                          "4.98 f/s, fastest approximate 11.16 f/s",
+            },
+        }))
         sys.exit(1)
     sys.exit(0 if main() else 1)
