@@ -180,7 +180,10 @@ def main(argv=None):
 
     t0 = time.perf_counter()
     pixels = gen.generate(video, actions, num_frames=total_frames, seed=seed)
-    gen_seconds = time.perf_counter() - t0
+    total_seconds = time.perf_counter() - t0
+    # rollout-only time: the benchmark number comparable to bench.py and
+    # docs/PERF.md (VAE encode/decode run once per video, not per step)
+    gen_seconds = gen.last_timings["rollout_s"]
 
     if args.batch == 1:
         pixels = np.asarray(pixels[0])
@@ -193,12 +196,13 @@ def main(argv=None):
             write_video(f"{stem}_{i}{ext}", pixels[i], fps=10)
         print(f"{args.batch} generations saved to {stem}_*{ext}.")
     if args.benchmark_json:
-        gen = (total_frames - n_prompt) * args.batch
+        n_gen = (total_frames - n_prompt) * args.batch
         print(json.dumps({
-            "generated_frames": gen,
+            "generated_frames": n_gen,
             "noise_steps": args.noise_steps,
             "seconds": gen_seconds,
-            "frames_per_sec": gen / gen_seconds,
+            "frames_per_sec": n_gen / gen_seconds,
+            "total_seconds_with_vae": total_seconds,
         }))
     return pixels
 

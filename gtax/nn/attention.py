@@ -20,6 +20,8 @@ Design notes (TPU-first):
 
 from __future__ import annotations
 
+import contextlib
+
 import jax
 import jax.numpy as jnp
 
@@ -40,6 +42,22 @@ def set_backend(name: str) -> None:
 
 def get_backend() -> str:
     return _BACKEND
+
+
+@contextlib.contextmanager
+def backend_scope(name: str):
+    """Set the backend for the duration of a block, then restore. The
+    backend is consulted at TRACE time only, so holders of long-lived jitted
+    callables (gtax.serving.VideoGenerator) wrap their compute calls in this
+    scope instead of mutating the global once — two instances with different
+    backends then can't corrupt each other's first-call traces."""
+    global _BACKEND
+    prev = _BACKEND
+    set_backend(name)
+    try:
+        yield
+    finally:
+        _BACKEND = prev
 
 
 def sdpa(q, k, v, mask=None, causal=False):

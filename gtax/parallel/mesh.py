@@ -192,12 +192,12 @@ def data_parallel_rollout(rollout, mesh: Mesh, num_gen_frames: int):
         return rollout(params, prompt, actions, key,
                        num_gen_frames=num_gen_frames)
 
-    sharded = shard_map(
+    sharded = jax.jit(shard_map(
         body, mesh=mesh,
         in_specs=(P(), P("data"), P("data"), P()),
         out_specs=P("data"),
         check_vma=False,  # rollout body is opaque (pallas custom calls)
-    )
+    ))
 
     def wrapped(params, prompt_latents, actions, rng):
         B = prompt_latents.shape[0]
@@ -216,6 +216,6 @@ def data_parallel_rollout(rollout, mesh: Mesh, num_gen_frames: int):
         prompt_latents = put(prompt_latents)
         if actions is not None:
             actions = put(actions)
-        return jax.jit(sharded)(params, prompt_latents, actions, rng)
+        return sharded(params, prompt_latents, actions, rng)
 
     return wrapped

@@ -60,6 +60,22 @@ def _expand(a):
     return a[:, :, None, None, None]
 
 
+def _ddim_update(x, v, alpha, alpha_next, noise_idx):
+    """The DDIM v-prediction update (reference train_dit.py:110-123): recover
+    x_start and the implied noise from v, re-noise to alpha_next, return
+    x_start itself at the final step. alpha/alpha_next broadcast against x —
+    per-frame columns in denoise_step, scalars on the last-row-only
+    incremental path. THE single copy of the parity-critical math."""
+    x32 = x.astype(jnp.float32)
+    v = v.astype(jnp.float32)
+    x_start = jnp.sqrt(alpha) * x32 - jnp.sqrt(1.0 - alpha) * v
+    x_noise = (
+        jnp.sqrt(1.0 / alpha) * x32 - x_start
+    ) / jnp.sqrt(1.0 / alpha - 1.0)
+    x_pred = jnp.sqrt(alpha_next) * x_start + jnp.sqrt(1.0 - alpha_next) * x_noise
+    return jnp.where(noise_idx <= 0, x_start, x_pred)
+
+
 def denoise_step(
     dit_fn,
     x,
@@ -92,17 +108,14 @@ def denoise_step(
         v, aux = dit_fn(x, t, actions, valid), None
     v = v.astype(jnp.float32)
 
-    x32 = x.astype(jnp.float32)
     alpha = _expand(alphas_cumprod[t])
-    x_start = jnp.sqrt(alpha) * x32 - jnp.sqrt(1.0 - alpha) * v
-    x_noise = (jnp.sqrt(1.0 / alpha) * x32 - x_start) / jnp.sqrt(1.0 / alpha - 1.0)
-
     alpha_next = _expand(alphas_cumprod[t_next])
+    # context frames are already clean: force alpha_next=1 for them
+    # (reference train_dit.py:116-117)
     alpha_next = jnp.concatenate(
         [jnp.ones_like(alpha_next[:, :-1]), alpha_next[:, -1:]], axis=1
     )
-    x_pred = jnp.sqrt(alpha_next) * x_start + jnp.sqrt(1.0 - alpha_next) * x_noise
-    x_out = jnp.where(noise_idx <= 0, x_start, x_pred)
+    x_out = _ddim_update(x, v, alpha, alpha_next, noise_idx)
     if aux_call:
         return x_out, v, aux
     return x_out, v
@@ -172,18 +185,10 @@ def denoise_window(
                 v = step_fn(x_last, kv, m_last, valid).astype(jnp.float32)
                 curr = noise_range[noise_idx]
                 nxt = noise_range[jnp.maximum(noise_idx - 1, 0)]
-                alpha = alphas_cumprod[curr]
-                alpha_next = alphas_cumprod[nxt]
-                x32 = x_last.astype(jnp.float32)
-                x_start = jnp.sqrt(alpha) * x32 - jnp.sqrt(1.0 - alpha) * v
-                x_noise = (
-                    jnp.sqrt(1.0 / alpha) * x32 - x_start
-                ) / jnp.sqrt(1.0 / alpha - 1.0)
-                x_pred = (
-                    jnp.sqrt(alpha_next) * x_start
-                    + jnp.sqrt(1.0 - alpha_next) * x_noise
+                x_out = _ddim_update(
+                    x_last, v, alphas_cumprod[curr], alphas_cumprod[nxt],
+                    noise_idx,
                 )
-                x_out = jnp.where(noise_idx <= 0, x_start, x_pred)
                 return (x_out, v), None
 
             v0 = jnp.zeros_like(x[:, -1:])

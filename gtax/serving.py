@@ -22,7 +22,7 @@ quantize) are opt-in.
 from __future__ import annotations
 
 import dataclasses
-import functools
+import time
 
 import jax
 import jax.numpy as jnp
@@ -65,7 +65,10 @@ class VideoGenerator:
         self.vae_cfg = VAE_MODELS[cfg.vae_model]()
         dtype = jnp.dtype(cfg.dtype)
         self._dtype = dtype
-        attention_mod.set_backend(cfg.attention_backend)
+        # the attention backend is consulted at trace time; it is applied as
+        # a scope around this instance's compute calls (generate) so two
+        # generators with different backends don't corrupt each other
+        self._backend = cfg.attention_backend
 
         if dtype != jnp.float32:
             from gtax.models.dit import cast_params_for_inference
@@ -86,7 +89,7 @@ class VideoGenerator:
             assert cfg.quantize != "int8", (
                 "mesh_model: the int8 Pallas kernels are single-chip; "
                 "use the bf16 xla path for TP serving")
-            attention_mod.set_backend("xla")
+            self._backend = "xla"  # a Pallas custom call can't be GSPMD-split
             from gtax.parallel import mesh as meshlib
 
             self._mesh = meshlib.make_mesh(
@@ -126,7 +129,7 @@ class VideoGenerator:
                 from gtax.models.dit import make_cond_fns
 
                 cond = make_cond_fns(self.dit_cfg, dtype)
-                if cfg.incremental and cfg.attention_backend in (
+                if cfg.incremental and self._backend in (
                         "fused", "fused_all"):
                     from gtax.models.dit import make_incremental_fns
 
@@ -139,6 +142,11 @@ class VideoGenerator:
             lambda vp, v: encode_frames(vp, self.vae_cfg, v, dtype))
         self._decode = jax.jit(
             lambda vp, lat: decode_frames(vp, self.vae_cfg, lat, dtype))
+        self._dp_runners = {}
+        # stage timings of the most recent generate() call (seconds):
+        # {"encode_s", "rollout_s", "decode_s"} — rollout_s is the number to
+        # compare against bench.py / docs/PERF.md (those time the rollout)
+        self.last_timings = {}
 
     @classmethod
     def load(cls, dit_path: str, vae_path: str,
@@ -164,22 +172,29 @@ class VideoGenerator:
                 lambda k: vae_init(k, vae_cfg))(jax.random.PRNGKey(1))
         return cls(dit_params, vae_params, cfg)
 
-    @functools.lru_cache(maxsize=8)
     def _dp_runner(self, num_gen_frames: int):
-        from gtax.parallel import mesh as meshlib
+        if num_gen_frames not in self._dp_runners:
+            from gtax.parallel import mesh as meshlib
 
-        dp_mesh = meshlib.make_mesh(
-            meshlib.MeshConfig(data=self.cfg.mesh_data, model=1),
-            devices=jax.devices()[: self.cfg.mesh_data])
-        return meshlib.data_parallel_rollout(
-            self._rollout, dp_mesh, num_gen_frames=num_gen_frames)
+            dp_mesh = meshlib.make_mesh(
+                meshlib.MeshConfig(data=self.cfg.mesh_data, model=1),
+                devices=jax.devices()[: self.cfg.mesh_data])
+            self._dp_runners[num_gen_frames] = meshlib.data_parallel_rollout(
+                self._rollout, dp_mesh, num_gen_frames=num_gen_frames)
+        return self._dp_runners[num_gen_frames]
 
     def generate(self, prompt_frames, actions=None, num_frames: int = 32,
                  seed: int = 0, noise=None):
         """prompt_frames: (B, T0, 3, H, W) float in [0, 1] (or (T0, 3, H, W)
         for B=1); actions: (B, num_frames, 25) or None; returns
         (B, num_frames, H, W, 3) uint8 pixels. num_frames counts prompt +
-        generated (reference --total-frames semantics)."""
+        generated (reference --total-frames semantics).
+
+        Multi-host + mesh_data: every process passes the identical global
+        batch, contributes only its local rows to the device mesh, and gets
+        back its OWN (B/process_count) rows — each host writes its own
+        videos (DDP-style serving; gathering pixels cross-host would move
+        orders of magnitude more bytes than the latents are worth)."""
         video = jnp.asarray(prompt_frames)
         if video.ndim == 4:
             video = video[None]
@@ -193,21 +208,41 @@ class VideoGenerator:
                 actions = actions[None]
             assert actions.shape[1] >= num_frames, (
                 f"need actions for all {num_frames} frames")
-        latents = self._encode(self.vae_params, video)
-        if self._mesh is not None:
-            from gtax.parallel.mesh import replicated
-
-            latents = jax.device_put(latents, replicated(self._mesh))
-            if actions is not None:
-                actions = jax.device_put(actions, replicated(self._mesh))
+        if noise is not None:
+            assert self.cfg.mesh_data <= 1 and self.cfg.pipeline_depth <= 1, (
+                "pre-drawn noise is a single-mesh, non-pipelined hook")
         rng = jax.random.PRNGKey(seed)
         n_gen = num_frames - n_prompt
-        if self.cfg.mesh_data > 1:
-            assert noise is None, "pre-drawn noise is a single-mesh hook"
-            lat = self._dp_runner(n_gen)(self.dit_params, latents, actions,
-                                         rng)
-        else:
-            kw = {} if noise is None else {"noise": noise}
-            lat = self._rollout(self.dit_params, latents, actions, rng,
-                                num_gen_frames=n_gen, **kw)
-        return np.asarray(self._decode(self.vae_params, lat))
+        with attention_mod.backend_scope(self._backend):
+            t0 = time.perf_counter()
+            latents = self._encode(self.vae_params, video)
+            latents.block_until_ready()
+            t1 = time.perf_counter()
+            if self._mesh is not None:
+                from gtax.parallel.mesh import replicated
+
+                latents = jax.device_put(latents, replicated(self._mesh))
+                if actions is not None:
+                    actions = jax.device_put(actions, replicated(self._mesh))
+            if self.cfg.mesh_data > 1:
+                lat = self._dp_runner(n_gen)(self.dit_params, latents,
+                                             actions, rng)
+            else:
+                kw = {} if noise is None else {"noise": noise}
+                lat = self._rollout(self.dit_params, latents, actions, rng,
+                                    num_gen_frames=n_gen, **kw)
+            lat.block_until_ready()
+            t2 = time.perf_counter()
+            if jax.process_count() > 1 and self.cfg.mesh_data > 1:
+                # keep decode local: reassemble this host's latent rows on
+                # host (the shards live on different local devices; latents
+                # are ~1000x smaller than the pixels they decode to)
+                shards = sorted(lat.addressable_shards,
+                                key=lambda s: s.index[0].start or 0)
+                lat = np.concatenate(
+                    [np.asarray(s.data) for s in shards], axis=0)
+            pixels = np.asarray(self._decode(self.vae_params, lat))
+            t3 = time.perf_counter()
+        self.last_timings = {"encode_s": t1 - t0, "rollout_s": t2 - t1,
+                             "decode_s": t3 - t2}
+        return pixels

@@ -71,6 +71,22 @@ def main():
                                    atol=1e-5, rtol=1e-5)
         checked += 1
     assert checked == 2, checked
+
+    # and the high-level API end to end: each host gets back its OWN rows
+    # (decode stays local; no cross-host pixel gather)
+    from gtax.serving import ServingConfig, VideoGenerator
+
+    gen = VideoGenerator.load("", "", ServingConfig(
+        dtype="float32", attention_backend="xla", unstack=False,
+        noise_steps=2, mesh_data=data,
+        dit_model="DiT-debug", vae_model="vae-debug"))
+    h, w = gen.vae_cfg.input_height, gen.vae_cfg.input_width
+    prompt_px = np.random.default_rng(0).random((data, 2, 3, h, w),
+                                                np.float32)
+    px = gen.generate(prompt_px, num_frames=4, seed=0)
+    assert px.shape == (data // nproc, 4, h, w, 3), px.shape
+    assert px.dtype == np.uint8
+
     print(f"RANK {pid} DP-SERVING OK {checked}", flush=True)
 
 

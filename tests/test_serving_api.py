@@ -6,6 +6,8 @@ load-once / generate-many object. These tests pin the API contract:
 shape/rank promotion, determinism under a fixed seed, and num_frames
 semantics (prompt + generated, reference --total-frames)."""
 
+import dataclasses
+
 import numpy as np
 import pytest
 
@@ -52,3 +54,30 @@ def test_actions_length_validated(gen):
     acts = np.zeros((1, 3, 25), np.float32)  # too short for 5 frames
     with pytest.raises(AssertionError, match="actions"):
         gen.generate(p, actions=acts, num_frames=5, seed=0)
+
+
+def test_generators_do_not_share_backend_state(gen):
+    """Two instances with different backends must not corrupt each other's
+    traces or leak into the process-global backend: the backend is applied
+    as a scope around each instance's compute calls."""
+    from gtax.nn import attention as attention_mod
+
+    before = attention_mod.get_backend()
+    ref = gen.generate(_prompt(gen), num_frames=4, seed=3)
+    gen2 = VideoGenerator.load(
+        "", "", dataclasses.replace(CFG, attention_backend="pallas"))
+    out2 = gen2.generate(_prompt(gen), num_frames=4, seed=3)
+    # same weights/seed: the pallas path must agree with xla numerics
+    np.testing.assert_allclose(out2.astype(np.int32), ref.astype(np.int32),
+                               atol=1)
+    # the first generator still runs its own (xla-traced) path afterwards
+    np.testing.assert_array_equal(
+        gen.generate(_prompt(gen), num_frames=4, seed=3), ref)
+    assert attention_mod.get_backend() == before
+
+
+def test_last_timings_populated(gen):
+    gen.generate(_prompt(gen), num_frames=4, seed=0)
+    t = gen.last_timings
+    assert set(t) == {"encode_s", "rollout_s", "decode_s"}
+    assert all(v > 0 for v in t.values())
