@@ -30,8 +30,14 @@ _INTERPRET = None  # None = auto (interpret iff default backend is CPU)
 
 
 def set_interpret(value: bool | None) -> None:
+    """Pin Pallas interpret mode (tests) or None = auto. The flag is read at
+    TRACE time, so flipping it must invalidate every cached executable —
+    otherwise a warm jit silently keeps running the old mode."""
     global _INTERPRET
-    _INTERPRET = value if value is None else bool(value)
+    value = value if value is None else bool(value)
+    if value != _INTERPRET:
+        _INTERPRET = value
+        jax.clear_caches()
 
 
 def interpret_mode() -> bool:
@@ -68,9 +74,10 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale):
     o_ref[:] = out.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("causal",))
-def _fused_sdpa_flat(q, k, v, bias, causal=False):
-    """q, k, v: (N, S, d); bias: (S, S) additive fp32. Returns (N, S, d)."""
+@jax.jit
+def _fused_sdpa_flat(q, k, v, bias):
+    """q, k, v: (N, S, d); bias: (S, S) additive fp32 (causality/masking
+    pre-baked by _build_bias). Returns (N, S, d)."""
     N, S, d = q.shape
     bn = _block_rows(S, d, q.dtype.itemsize)
     n_pad = (-N) % bn
@@ -102,16 +109,18 @@ def _fused_sdpa_flat(q, k, v, bias, causal=False):
 
 def _build_bias(S: int, mask, causal: bool) -> jnp.ndarray:
     """Additive (S, S) fp32 bias from causal flag + optional (S,)/(S,S) mask
-    (True = attend). Mirrors gtax.nn.attention.sdpa mask semantics including
-    the always-open diagonal for padded temporal queries."""
+    (True = attend). Mirrors gtax.nn.attention.sdpa mask semantics exactly:
+    a 1-D mask broadcasts as key validity over every query row (callers that
+    want the open diagonal for padded temporal queries pass the (S, S)
+    `valid | eye` mask they build — gtax/nn/attention.py:240)."""
     if causal:
         causal_m = jnp.tril(jnp.ones((S, S), dtype=bool))
     else:
         causal_m = jnp.ones((S, S), dtype=bool)
     if mask is not None:
         mask = jnp.asarray(mask)
-        if mask.ndim == 1:  # key-validity vector with open diagonal
-            mask = jnp.logical_or(mask[None, :], jnp.eye(S, dtype=bool))
+        if mask.ndim == 1:  # key-validity vector, same rule for every row
+            mask = jnp.broadcast_to(mask[None, :], (S, S))
         full = jnp.logical_and(causal_m, mask)
     else:
         full = causal_m
@@ -136,7 +145,7 @@ def fused_sdpa(q, k, v, mask=None, causal=False):
     kf = k.reshape(-1, S, d)
     vf = v.reshape(-1, S, d)
     bias = _build_bias(S, mask, causal)
-    out = _fused_sdpa_flat(qf, kf, vf, bias, causal=causal)
+    out = _fused_sdpa_flat(qf, kf, vf, bias)
     return out.reshape(*lead, S, d)
 
 
@@ -172,9 +181,10 @@ def _mha_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, num_heads, scale):
         ).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "causal"))
-def _mha_token_major_flat(q, k, v, bias, num_heads, causal=False):
-    """q,k,v: (N, S, h*d) token-major; bias (S, S). Returns (N, S, h*d)."""
+@functools.partial(jax.jit, static_argnames=("num_heads",))
+def _mha_token_major_flat(q, k, v, bias, num_heads):
+    """q,k,v: (N, S, h*d) token-major; bias (S, S) additive fp32
+    (causality/masking pre-baked by _build_bias). Returns (N, S, h*d)."""
     N, S, HD = q.shape
     d = HD // num_heads
     # VMEM: 4 tensors of BN*S*HD*2B + BN fp32 scores S*S*4
@@ -224,6 +234,6 @@ def fused_mha_token_major(q, k, v, num_heads, mask=None, causal=False):
     bias = _build_bias(S, mask, causal)
     out = _mha_token_major_flat(
         q.reshape(-1, S, HD), k.reshape(-1, S, HD), v.reshape(-1, S, HD),
-        bias, num_heads, causal=causal,
+        bias, num_heads,
     )
     return out.reshape(*lead, S, HD)

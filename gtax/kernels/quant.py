@@ -42,6 +42,7 @@ from gtax.kernels.block import (
     _rows_from_frames,
     _spatial_attention_core,
     _temporal_attention_core,
+    _temporal_step_core,
     rotate_half_matrix,
     temporal_preamble,
 )
@@ -139,8 +140,6 @@ def _temporal_step_kernel_q(x_ref, shift_ref, scale_ref, gate_ref, qkvq_ref,
                             seq_len, ln_eps, mod_eps):
     """W8A8 twin of gtax.kernels.block._temporal_step_kernel (incremental
     decoding: last-frame rows against cached context K/V)."""
-    from gtax.kernels.block import _temporal_step_core
-
     x = x_ref[:]
     NS, D = x.shape
     x32, mod = _ln_modulate32(x_ref, shift_ref, scale_ref, ln_eps, mod_eps,
@@ -165,12 +164,10 @@ def fused_temporal_step_q(x, shift, scale, gate, qkv_q, qkv_s, out_q, out_s,
                           out_b, k_ctx, v_ctx, rope_freqs, valid, num_heads,
                           n_ctx):
     """int8 twin of gtax.kernels.block.fused_temporal_step."""
-    from gtax.kernels.block import temporal_preamble as _preamble
-
     B, S, D = x.shape
     T = n_ctx + 1
     d = D // num_heads
-    _, _, R, seg, bias = _preamble(
+    _, _, R, seg, bias = temporal_preamble(
         rope_freqs, valid, B, S, T, num_heads, d, x.dtype
     )
     cos_t = jnp.cos(rope_freqs.astype(jnp.float32))

@@ -97,9 +97,10 @@ class DiTConfig:
         return int(self.hidden_size * self.mlp_ratio)
 
     def param_count(self) -> int:
-        return sum(
-            x.size for x in jax.tree.leaves(dit_init(jax.random.PRNGKey(0), self))
-        )
+        # eval_shape: count from abstract shapes, no multi-GB materialisation
+        shapes = jax.eval_shape(
+            lambda: dit_init(jax.random.PRNGKey(0), self))
+        return sum(x.size for x in jax.tree.leaves(shapes))
 
 
 def _normal(key, shape, std):
@@ -525,6 +526,14 @@ def dit_apply(
         and attn.get_backend() == "fused_all"
         and (valid is None or valid.ndim == 1)
     )
+    if (use_stacked and not isinstance(params["blocks"], (list, tuple))
+            and "kernel_q" in params["blocks"]["s_attn"]["qkv"]):
+        raise ValueError(
+            "stream_stacked does not support W8A8-quantized params: the "
+            "stack pipeline (gtax/kernels/stack.py) streams bf16 weight "
+            "packs. Use the unstacked int8 path (unstack_for_inference + "
+            "quantize_for_inference with stream_stacked=False)."
+        )
     use_cache = attn_cache is not None or collect_cache
     if isinstance(params["blocks"], (list, tuple)):
         # INFERENCE fast path: blocks pre-unstacked into per-block pytrees

@@ -40,6 +40,37 @@ def test_fused_matches_xla_causal_valid():
     assert_close(out, ref, atol=2e-5, rtol=1e-4)
 
 
+def test_fused_1d_mask_matches_xla():
+    """A 1-D mask is pure key validity — the fused bias must mirror the XLA
+    path exactly (no open diagonal; callers wanting it pass valid|eye)."""
+    S, d = 5, 16
+    q, k, v = rand(6, (3, S, d)), rand(7, (3, S, d)), rand(8, (3, S, d))
+    valid = jnp.asarray([False, True, True, True, True])
+    out = kattn.fused_sdpa(q, k, v, mask=valid)
+    ref = nnattn.sdpa(q, k, v, mask=valid[None, :])
+    assert_close(out, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_stream_stacked_rejects_quantized_params():
+    from gtax.models.dit import (DiTConfig, dit_apply, dit_init,
+                                 quantize_for_inference)
+
+    cfg = DiTConfig(hidden_size=64, depth=1, num_heads=2,
+                    stream_stacked=True)
+    pq = quantize_for_inference(dit_init(jax.random.PRNGKey(0), cfg), cfg)
+    x = jnp.zeros((1, cfg.max_frames, cfg.in_channels, cfg.input_h,
+                   cfg.input_w))
+    t = jnp.zeros((1, cfg.max_frames), jnp.int32)
+    prev = nnattn.get_backend()
+    nnattn.set_backend("fused_all")
+    try:
+        with pytest.raises(ValueError, match="stream_stacked"):
+            dit_apply(pq, cfg, x, t, None, None,
+                      compute_dtype=jnp.float32)
+    finally:
+        nnattn.set_backend(prev)
+
+
 def test_batch_mask_falls_back():
     S, d = 5, 16
     q = rand(0, (2, S, d))
