@@ -60,6 +60,20 @@ def main(argv=None):
         dataset_kw["shards"] = sorted(
             glob.glob(os.path.join(args.dataset_root, "*.tar"))
         )
+        # validation shards: <root>/{val,dev,validation}/*.tar if present;
+        # otherwise reuse the training shards (explicitly — val loss then
+        # measures trained-on data) rather than hitting the HF hub
+        for sub in ("val", "dev", "validation"):
+            vs = sorted(
+                glob.glob(os.path.join(args.dataset_root, sub, "*.tar")))
+            if vs:
+                dataset_kw["val_shards"] = vs
+                break
+        else:
+            logging.warning(
+                "--dataset_root has no val/dev/validation subdir: "
+                "validation will stream the TRAINING shards")
+            dataset_kw["val_shards"] = dataset_kw["shards"]
     if args.dummy_size is not None and config.dataset_type == "dummy":
         dataset_kw["size"] = args.dummy_size
 

@@ -109,47 +109,83 @@ class DataLoader:
         if self.is_iterable:
             yield from iter(self.dataset)
         else:
-            n = len(self.dataset)
-            rng = np.random.default_rng(self.seed + self.epoch)
-            order = rng.permutation(n) if self.shuffle else np.arange(n)
-            self.epoch += 1
-            if self.world > 1:
-                total = -(-n // self.world) * self.world
-                if total > n:  # pad by wrapping (DistributedSampler)
-                    order = np.concatenate([order, order[: total - n]])
-            for i in order[self.rank::self.world]:
+            for i in self._epoch_order():
                 yield self.dataset[int(i)]
+
+    def _epoch_order(self) -> np.ndarray:
+        """This rank's sample indices for the next epoch (advances epoch)."""
+        n = len(self.dataset)
+        rng = np.random.default_rng(self.seed + self.epoch)
+        order = rng.permutation(n) if self.shuffle else np.arange(n)
+        self.epoch += 1
+        if self.world > 1:
+            total = -(-n // self.world) * self.world
+            if total > n:  # pad by wrapping (DistributedSampler)
+                order = np.concatenate([order, order[: total - n]])
+        return order[self.rank::self.world]
+
+    def _decoded_iter(self) -> Iterator[dict]:
+        """Samples in deterministic order, decoded by a thread pool when the
+        dataset is map-style (JPEG decode/resize release the GIL). Iterable
+        datasets stay sequential: their stream order IS the contract and the
+        resumable cursor must advance with consumption."""
+        if self.is_iterable or self.num_workers <= 1:
+            yield from self._sample_iter()
+            return
+        import collections
+        from concurrent.futures import ThreadPoolExecutor
+
+        order = self._epoch_order()
+        with ThreadPoolExecutor(self.num_workers) as ex:
+            futs: collections.deque = collections.deque()
+            for i in order:
+                futs.append(ex.submit(self.dataset.__getitem__, int(i)))
+                if len(futs) > 2 * self.num_workers:
+                    yield futs.popleft().result()  # ordered: FIFO pop
+            while futs:
+                yield futs.popleft().result()
 
     def __iter__(self) -> Iterator[Batch]:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            # stop-aware put: never block forever on a consumer that left
+            # (run_validation reads only max_batches; max_steps ends epochs
+            # early) — an unbounded q.put would pin the thread + its batches
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             try:
                 batch_vid, batch_act = [], []
-                for sample in self._sample_iter():
+                for sample in self._decoded_iter():
                     if stop.is_set():
                         return
                     batch_vid.append(np.asarray(sample["video"], np.float32))
                     if "actions" in sample:
                         batch_act.append(np.asarray(sample["actions"], np.float32))
                     if len(batch_vid) == self.batch_size:
-                        q.put(
-                            Batch(
-                                video=np.stack(batch_vid),
-                                actions=np.stack(batch_act) if batch_act else None,
-                            )
-                        )
-                        batch_vid, batch_act = [], []
-                if batch_vid and not self.drop_last:
-                    q.put(
-                        Batch(
+                        if not put(Batch(
                             video=np.stack(batch_vid),
                             actions=np.stack(batch_act) if batch_act else None,
-                        )
-                    )
+                        )):
+                            return
+                        batch_vid, batch_act = [], []
+                if batch_vid and not self.drop_last:
+                    put(Batch(
+                        video=np.stack(batch_vid),
+                        actions=np.stack(batch_act) if batch_act else None,
+                    ))
+            except BaseException as e:  # surface in the consumer, not stderr
+                put(e)
             finally:
-                q.put(None)
+                put(None)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -158,9 +194,17 @@ class DataLoader:
                 item = q.get()
                 if item is None:
                     return
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()
+            # unblock a producer stuck between its stop checks
+            while not q.empty():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
 
 
 def device_prefetch(batches: Iterator[Batch], sharding=None, depth: int = 2):

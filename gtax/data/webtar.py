@@ -125,9 +125,12 @@ class WebTarDataset:
         worker_index: int = 0,
         num_workers: int = 1,
         transform: ClipTransform | None = None,
+        size: int | None = None,
     ):
         self.split = split
         self.return_actions = return_actions
+        self._custom_shards = shards is not None
+        self._size = size
         if shards is None:
             shards = hf_shard_urls(split)
             if token is None:
@@ -135,6 +138,7 @@ class WebTarDataset:
 
                 token = get_token()
         self.shards = list(shards)
+        assert self.shards, "WebTarDataset needs at least one shard"
         self.token = token
         self.shuffle_shards = shuffle_shards
         self.shuffle_buffer = shuffle_buffer
@@ -148,6 +152,19 @@ class WebTarDataset:
         self.cursor = [0, 0, 0]
 
     def __len__(self):
+        """Nominal samples per epoch: the LR schedule / steps_per_epoch
+        anchor. Custom shard lists should pass size= (exact counting would
+        stream every tar); otherwise a per-shard estimate is used, NOT the
+        HF registry size of a split the shards don't come from."""
+        if self._size is not None:
+            return self._size
+        if self._custom_shards:
+            est = len(self.shards) * 1000  # ~samples/shard in the HF layout
+            print(f"[gtax.data] WebTarDataset: custom shards without size=; "
+                  f"estimating len as {est} (pass size= for a correct LR "
+                  f"schedule)")
+            self._size = est
+            return est
         try:
             return split_len(self.split)
         except KeyError:
@@ -157,7 +174,13 @@ class WebTarDataset:
         shards = list(self.shards)
         if self.shuffle_shards:
             random.Random(self.seed + epoch).shuffle(shards)
-        return shards[self.worker_index:: self.num_workers]
+        mine = shards[self.worker_index:: self.num_workers]
+        if not mine:
+            # fewer shards than (process, worker) slots: wrap around rather
+            # than busy-spin an empty list forever (a worker that never
+            # yields deadlocks the collective train/val step it feeds)
+            mine = [shards[self.worker_index % len(shards)]]
+        return mine
 
     def _make_item(self, sample: dict):
         if "jpg" not in sample:

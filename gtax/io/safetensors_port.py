@@ -135,11 +135,17 @@ def dit_from_torch(state: dict[str, np.ndarray], cfg: DiTConfig):
                        "bias": take("final_layer.linear.bias")},
         },
     }
-    if cfg.external_cond_dim > 0 and "external_cond.weight" in state:
-        params["external_cond"] = {
-            "kernel": take("external_cond.weight", _t),
-            "bias": take("external_cond.bias"),
-        }
+    if cfg.external_cond_dim > 0:
+        if "external_cond.weight" in state:
+            params["external_cond"] = {
+                "kernel": take("external_cond.weight", _t),
+                "bias": take("external_cond.bias"),
+            }
+        else:
+            # report it (load_dit prints the diff) instead of silently
+            # shipping a tree that KeyErrors on the first action-conditioned
+            # forward; forwards without actions still work
+            missing.extend(["external_cond.weight", "external_cond.bias"])
 
     blocks: dict = {}
     for path, (suffix, has_bias) in _DIT_BLOCK_LIN.items():

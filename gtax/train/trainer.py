@@ -214,7 +214,21 @@ class Trainer:
         self.param_sharding = meshlib.param_sharding(self.mesh, self.dit_params)
         self.dit_params = jax.device_put(self.dit_params, self.param_sharding)
         self.vae_params = jax.device_put(self.vae_params, self.replicated)
-        self.opt_state = jax.device_put(self.opt_state, self.replicated)
+        # optimizer moments (mu/nu) mirror the param tree: place them with
+        # the SAME sharding, or TP would replicate 2x-params of state on
+        # every device and relayout it each step. Non-param leaves (step
+        # counts etc.) replicate.
+        pstruct = jax.tree.structure(self.dit_params)
+        is_param_tree = lambda n: jax.tree.structure(n) == pstruct  # noqa
+
+        def place(node):
+            if is_param_tree(node):
+                return jax.device_put(node, self.param_sharding)
+            return jax.tree.map(
+                lambda x: jax.device_put(x, self.replicated), node)
+
+        self.opt_state = jax.tree.map(place, self.opt_state,
+                                      is_leaf=is_param_tree)
 
     def _dit_apply(self, params, x, t, actions, valid):
         """DiT forward with params as an explicit (traced) argument — params
@@ -583,6 +597,17 @@ class Trainer:
         ckptr.save(os.path.join(path, f"state_{self.global_step}"), state)
         ckptr.wait_until_finished()
         if jax.process_index() == 0:
+            # this is the rolling "_last" checkpoint (the reference
+            # overwrites one dir in place, train_dit.py:765-800): prune the
+            # superseded state_* dirs or a long run fills the disk with
+            # full optimizer states
+            import shutil
+
+            for name in os.listdir(path):
+                if (name.startswith("state_")
+                        and name != f"state_{self.global_step}"):
+                    shutil.rmtree(os.path.join(path, name),
+                                  ignore_errors=True)
             meta = {"step": self.global_step, "epoch": epoch,
                     "time": time.time()}
             # wandb run resumes across restarts (reference train_dit.py:810-830)
@@ -614,9 +639,11 @@ class Trainer:
         self.global_step = state_meta["step"]
         self.start_epoch = state_meta["epoch"]
         self.wandb_run_id = state_meta.get("wandb_run_id")
+        cursor_restored = False
         if "data_cursor" in state_meta and hasattr(self, "train_dataset"):
             if hasattr(self.train_dataset, "cursor"):
                 self.train_dataset.cursor = list(state_meta["data_cursor"])
+                cursor_restored = True
         ckptr = ocp.StandardCheckpointer()
         # abstract template with the LIVE shardings: each host restores only
         # its shards, directly onto its devices (multi-host correct)
@@ -634,13 +661,18 @@ class Trainer:
         self.dit_params = state["params"]
         self.opt_state = state["opt_state"]
         self.rng = jnp.asarray(jax.device_get(state["rng"]))
-        # fast-forward within the epoch (reference :837-839)
+        # fast-forward within the epoch (reference :837-839) — but only for
+        # datasets WITHOUT a stream cursor: a restored cursor already
+        # positions the stream exactly, and skipping on top of it would
+        # discard (and re-download) up to an epoch of data
         self.skip_batches = (
-            (self.global_step % max(1, self.steps_per_epoch))
+            0 if cursor_restored
+            else self.global_step % max(1, self.steps_per_epoch)
         )
         logger.info(
-            "Resumed from epoch %d, step %d, skipping %d steps",
+            "Resumed from epoch %d, step %d, skipping %d steps%s",
             self.start_epoch + 1, self.global_step, self.skip_batches,
+            " (stream cursor restored)" if cursor_restored else "",
         )
         return True
 
@@ -711,13 +743,31 @@ def build_loaders(config: TrainingConfig, **dataset_kw):
     elif config.dataset_type == "webdataset" and world > 1:
         dataset_kw.setdefault("worker_index", rank)
         dataset_kw.setdefault("num_workers", world)
+    # a custom 'shards' list must not leak into the validation split (val
+    # would silently evaluate on the training shards); pass val_shards= (or
+    # val_size=) to point validation at its own data
+    val_kw = dict(dataset_kw)
+    val_kw.pop("shards", None)
+    val_kw.pop("size", None)
+    if "val_shards" in dataset_kw:
+        val_kw["shards"] = val_kw.pop("val_shards")
+        dataset_kw = {k: v for k, v in dataset_kw.items()
+                      if k != "val_shards"}
+    if "val_size" in dataset_kw:
+        val_kw["size"] = val_kw.pop("val_size")
+        dataset_kw = {k: v for k, v in dataset_kw.items()
+                      if k != "val_size"}
+    if "shards" in dataset_kw and "shards" not in val_kw:
+        logger.warning(
+            "custom train shards without val_shards: validation falls back "
+            "to the registry '%s' split", "validation")
     train_ds = make_dataset(
         config.dataset_type, "train", config.use_action_conditioning,
         **dataset_kw,
     )
     val_ds = make_dataset(
         config.dataset_type, "validation", config.use_action_conditioning,
-        **dataset_kw,
+        **val_kw,
     )
     n_local = jax.local_device_count()
     train_loader = DataLoader(

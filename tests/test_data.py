@@ -218,3 +218,80 @@ def test_dataloader_resume_epoch_permutation():
     replay = [float(s["video"][0]) for s in resumed._sample_iter()]
     assert replay == orders[1]
     assert replay != orders[0]  # epochs genuinely reshuffle
+
+
+def test_webtar_more_workers_than_shards(tmp_path):
+    """A (process, worker) slot with an empty shard stride wraps around to
+    an existing shard instead of busy-spinning forever without yielding
+    (which would deadlock the collective step it feeds)."""
+    shard = str(tmp_path / "00000.tar")
+    make_shard(shard, 3)
+    ds = WebTarDataset(
+        split="train", return_actions=False, shards=[shard],
+        shuffle_buffer=1, resampled=False, shuffle_shards=False,
+        worker_index=1, num_workers=2,
+    )
+    assert len([s for s in ds]) == 3  # the wrapped shard's samples
+
+
+def test_webtar_custom_shards_len(tmp_path):
+    shard = str(tmp_path / "00000.tar")
+    make_shard(shard, 3)
+    kw = dict(split="train", return_actions=False, shards=[shard],
+              resampled=False)
+    assert len(WebTarDataset(size=3, **kw)) == 3
+    # without size=: a per-shard estimate, NOT the HF train split's 1.27M
+    assert len(WebTarDataset(**kw)) == 1000
+
+
+class _FailingDataset:
+    def __len__(self):
+        return 8
+
+    def __getitem__(self, i):
+        if i >= 4:
+            raise RuntimeError("decode exploded")
+        import numpy as np
+
+        return {"video": np.zeros((1,), np.float32)}
+
+
+def test_dataloader_propagates_producer_errors():
+    """A producer exception must surface in the consumer, not silently end
+    the epoch early (which would corrupt step/LR accounting)."""
+    import pytest
+
+    loader = DataLoader(_FailingDataset(), batch_size=2, num_workers=1,
+                        shuffle=False)
+    with pytest.raises(RuntimeError, match="decode exploded"):
+        list(loader)
+
+
+def test_dataloader_early_exit_stops_producer():
+    """Breaking out of iteration mid-epoch must release the producer thread
+    (a blocked q.put would pin the thread plus queued batches forever)."""
+    import threading
+    import time
+
+    before = threading.active_count()
+    loader = DataLoader(_IndexedDataset(64), batch_size=1, num_workers=1,
+                        prefetch=1)
+    for _ in loader:
+        break  # consumer leaves with the queue full
+    for _ in range(50):
+        if threading.active_count() <= before:
+            break
+        time.sleep(0.1)
+    assert threading.active_count() <= before
+
+
+def test_dataloader_parallel_decode_deterministic():
+    """num_workers > 1 decodes in a thread pool but preserves the exact
+    sample order of the single-threaded path (batch composition must not
+    depend on thread scheduling)."""
+    ds = _IndexedDataset(32)
+    seq = [b.video[:, 0].tolist()
+           for b in DataLoader(ds, batch_size=4, num_workers=1, seed=5)]
+    par = [b.video[:, 0].tolist()
+           for b in DataLoader(ds, batch_size=4, num_workers=4, seed=5)]
+    assert par == seq

@@ -180,14 +180,14 @@ def test_tensor_parallel_mesh(tmp_path):
     assert np.isfinite(metrics["train_loss"])
 
 
-def test_predict_noise_diagnostics(tmp_path):
+def test_predict_noise_diagnostics(tmp_path, monkeypatch):
     """renoise eval returns distinct, truthful tensors for the debug grid
     (reference predict_noise + visualize_step, train_dit.py:466-552)."""
     trainer, _ = tiny_trainer(tmp_path)
     b = dummy_batches(1, 2)[0]
     from gtax.data.loader import Batch
 
-    os.chdir(tmp_path)
+    monkeypatch.chdir(tmp_path)  # restored after the test
     out = trainer.predict_noise(Batch(video=b.video, actions=b.actions))
     assert out.shape == (1, 5, 4, TINY_VAE.seq_h, TINY_VAE.seq_w)
     # the jitted renoise returns the full diagnostics dict
@@ -268,12 +268,12 @@ def test_epoch_bounded_training(tmp_path):
     assert loader.epoch == 2
 
 
-def test_rollout_and_video(tmp_path):
+def test_rollout_and_video(tmp_path, monkeypatch):
     trainer, _ = tiny_trainer(tmp_path)
     b = dummy_batches(1, 2)[0]
     from gtax.data.loader import Batch
 
-    os.chdir(tmp_path)
+    monkeypatch.chdir(tmp_path)  # restored after the test
     path = trainer.predict(Batch(video=b.video, actions=b.actions),
                            num_frames=7)
     assert os.path.exists(path)
