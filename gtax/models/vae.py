@@ -62,9 +62,10 @@ class VAEConfig:
         return 3 * self.patch_size**2
 
     def param_count(self) -> int:
-        return sum(
-            x.size for x in jax.tree.leaves(vae_init(jax.random.PRNGKey(0), self))
-        )
+        # eval_shape: count from abstract shapes, no materialisation
+        shapes = jax.eval_shape(
+            lambda: vae_init(jax.random.PRNGKey(0), self))
+        return sum(x.size for x in jax.tree.leaves(shapes))
 
 
 def _xavier_uniform(key, shape):

@@ -275,29 +275,15 @@ def temporal_axial_attention(
     return linear(params["out"], out, compute_dtype)
 
 
-def _pallas_heads_last(q, k, v, mask, causal):
-    """Route a heads-last (..., S, h, d) attention through the Pallas fused
-    kernel (which wants (..., S, d) rows); falls back to the XLA einsum path
-    when the kernel declines the pattern."""
-    from gtax.kernels import attention as kattn
-
-    qq = jnp.moveaxis(q, -2, -3)
-    kk = jnp.moveaxis(k, -2, -3)
-    vv = jnp.moveaxis(v, -2, -3)
-    out = kattn.fused_sdpa(qq, kk, vv, mask=mask, causal=causal)
-    if out is None:
-        return _sdpa_heads_last(q, k, v, mask=mask, causal=causal)
-    return jnp.moveaxis(out, -3, -2)
-
-
 def vae_frame_attention(
     params, x, rope_freqs, num_heads: int, grid_hw, compute_dtype=jnp.bfloat16
 ):
     """Per-frame ViT self-attention with partial pixel-axial RoPE.
 
     x: (N, S, D) with S = H*W. rope_freqs: (H, W, rot_dim) where
-    rot_dim = 2 * (head_dim//4) * 2 — only the first rot_dim head dims rotate,
-    the rest pass through (reference model/vae.py:71-99). qkv and proj both
+    rot_dim = 2 axes * 2 * (head_dim//8 freqs) = head_dim//2 — only the
+    first rot_dim head dims rotate, the rest pass through (the reference's
+    RotaryEmbedding(dim=head_dim//4), model/vae.py:71-99). qkv and proj both
     carry biases (qkv_bias=True, model/vae.py:203). Heads-last layout: free
     reshapes only.
     """

@@ -317,11 +317,14 @@ def make_rollout(dit_fn, max_frames: int, cfg: SamplerConfig, pab=None,
         bound_dit = lambda x, t, a, v: dit_fn(params, x, t, a, v)  # noqa: E731
         B, n_prompt, C, H, Wd = prompt_latents.shape
         assert n_prompt >= 1
-        # context buffer: last W-1 frames, left-padded with zeros
+        # context buffer: last W-1 frames, left-padded with zeros. float32 by
+        # the denoise_step contract — and the scan carry must keep one dtype
+        # (each step's new frame is a float32 _ddim_update output)
+        prompt_latents = prompt_latents.astype(jnp.float32)
         n_ctx = min(n_prompt, W - 1)
         ctx = prompt_latents[:, n_prompt - n_ctx:]
         if n_ctx < W - 1:
-            pad = jnp.zeros((B, W - 1 - n_ctx, C, H, Wd), prompt_latents.dtype)
+            pad = jnp.zeros((B, W - 1 - n_ctx, C, H, Wd), jnp.float32)
             ctx = jnp.concatenate([pad, ctx], axis=1)
 
         if actions is not None:
@@ -474,18 +477,26 @@ def make_pipelined_rollout(dit_fn, max_frames: int, cfg: SamplerConfig,
     def rollout(params, prompt_latents, actions, rng, num_gen_frames: int):
         bound_dit = lambda x, t, a, v: dit_fn(params, x, t, a, v)  # noqa: E731
         B, n_prompt, C, H, Wd = prompt_latents.shape
+        prompt_latents = prompt_latents.astype(jnp.float32)  # carry dtype
         n_cycles = num_gen_frames + P - 1
 
-        # clean-context buffer: last n_ctx_slots prompt frames, left-padded
+        # clean-context buffer: last n_ctx_slots prompt frames, left-padded.
+        # This is the POST-warm-up carry; warm-up cycles (c < P-1) instead
+        # slice the prompt at the window's true frame positions (see cycle)
         n_fill = min(n_prompt, n_ctx_slots)
         ctx = prompt_latents[:, n_prompt - n_fill:]
         ctx_valid0 = jnp.asarray(
             [False] * (n_ctx_slots - n_fill) + [True] * n_fill
         )
         if n_fill < n_ctx_slots:
-            pad = jnp.zeros((B, n_ctx_slots - n_fill, C, H, Wd),
-                            prompt_latents.dtype)
+            pad = jnp.zeros((B, n_ctx_slots - n_fill, C, H, Wd), jnp.float32)
             ctx = jnp.concatenate([pad, ctx], axis=1)
+        # prompt buffer for warm-up context slices: frame f lives at index
+        # f + W (front pad W covers the most negative base, back pad
+        # n_ctx_slots covers the highest slice end)
+        prompt_pad = jnp.concatenate(
+            [jnp.zeros((B, W, C, H, Wd), jnp.float32), prompt_latents,
+             jnp.zeros((B, n_ctx_slots, C, H, Wd), jnp.float32)], axis=1)
 
         if actions is not None:
             A = actions.shape[-1]
@@ -518,25 +529,48 @@ def make_pipelined_rollout(dit_fn, max_frames: int, cfg: SamplerConfig,
             # frame is emitted at cycle c + k, so it is active when
             # c + k <= n_cycles - 1 AND it entered (cycle c - (P-1-k) >= 0)
             active = (c - (P - 1 - slot_ids)) >= 0
+            # window slot j nominally holds frame base + j: during warm-up
+            # (c < P-1) the carried ctx is NOT yet aligned to that (it holds
+            # the newest prompt frames; shifting only starts once frames
+            # emit), so slice the prompt at the true positions instead —
+            # otherwise the first P-1 generated frames attend to a context
+            # latent at the wrong temporal-RoPE distance, conditioned on the
+            # wrong frame's action
+            base = n_prompt + c - (P - 1) - n_ctx_slots
+            ctx_win, ctx_valid_win = ctx, ctx_valid  # window view, NOT carry
+            if P > 1:
+                warm_ctx = jax.lax.dynamic_slice(
+                    prompt_pad, (0, base + W, 0, 0, 0),
+                    (B, n_ctx_slots, C, H, Wd))
+                fidx = base + jnp.arange(n_ctx_slots)
+                warm_valid = (fidx >= 0) & (fidx < n_prompt)
+                warm = c < (P - 1)
+                ctx_win = jnp.where(warm, warm_ctx, ctx)
+                ctx_valid_win = jnp.where(warm, warm_valid, ctx_valid)
             # window frame index base (for actions): emitted frame of this
             # cycle is n_prompt + c - (P-1); window slot j holds frame
             # base + j with base as below, offset into the front-padded array
             if actions_padded is not None:
-                start = n_prompt + c - (P - 1) - n_ctx_slots + (W - 1)
                 awin = jax.lax.dynamic_slice(
-                    actions_padded, (0, start, 0),
+                    actions_padded, (0, base + (W - 1), 0),
                     (B, W, actions_padded.shape[-1]),
                 )
             else:
                 awin = None
-            valid = jnp.concatenate([ctx_valid, active])
+            valid = jnp.concatenate([ctx_valid_win, active])
 
             use_pab = pab is not None and cfg.attn_broadcast > 1
 
             def call(carry2, p_k):
                 inflight2, cache = carry2
                 p, k_iter = p_k
-                idxs = jnp.clip(slot_ids * stride + p, 0, steps)
+                raw = slot_ids * stride + p
+                # a slot whose raw index overshoots the schedule top has not
+                # started denoising this cycle: it idles at pure noise (the
+                # clipped update would re-apply the steps->steps-1 step
+                # P*stride-(steps+1) extra times at a mismatched level)
+                started = raw <= steps
+                idxs = jnp.clip(raw, 0, steps)
                 t_infl = noise_range[idxs]  # (P,)
                 t = jnp.concatenate(
                     [
@@ -548,7 +582,7 @@ def make_pipelined_rollout(dit_fn, max_frames: int, cfg: SamplerConfig,
                     ],
                     axis=1,
                 )
-                window = jnp.concatenate([ctx, inflight2], axis=1)
+                window = jnp.concatenate([ctx_win, inflight2], axis=1)
                 if use_pab:
                     collect_fn, reuse_fn, _ = pab
 
@@ -581,7 +615,10 @@ def make_pipelined_rollout(dit_fn, max_frames: int, cfg: SamplerConfig,
                 a_n = abar[noise_range[idx_next]][None, :, None, None, None]
                 x_pred = jnp.sqrt(a_n) * x_start + jnp.sqrt(1 - a_n) * x_noise
                 final = (idxs <= 0)[None, :, None, None, None]
-                return (jnp.where(final, x_start, x_pred), cache), None
+                x_out = jnp.where(final, x_start, x_pred)
+                x_out = jnp.where(started[None, :, None, None, None],
+                                  x_out, x)
+                return (x_out, cache), None
 
             cache0 = (
                 pab[2](params, B, W) if use_pab else jnp.zeros((), jnp.float32)

@@ -118,3 +118,66 @@ def test_pipelined_with_broadcast(dit_small_params):
     assert out.shape == (B, 12, C, H, W)
     assert bool(jnp.all(jnp.isfinite(out)))
     np.testing.assert_array_equal(np.asarray(out[:, :4]), np.asarray(prompt))
+
+
+def test_warmup_context_alignment():
+    """During warm-up cycles the context slot must hold the prompt frame at
+    its nominal window position (slot j = frame base+j), not the newest
+    prompt frame — otherwise early generated frames attend to a context
+    latent at the wrong temporal-RoPE distance with the wrong action row."""
+    records = []
+
+    def probe_dit(params, x, t, a, valid):
+        jax.debug.callback(
+            lambda x, t, v: records.append(
+                (np.asarray(x), np.asarray(t), np.asarray(v))),
+            x, t, valid, ordered=True)
+        return jnp.zeros_like(x)
+
+    cfg = sd.SamplerConfig(ddim_noise_steps=3, stabilization_level=15)
+    B, C, H, W = 1, 2, 2, 2
+    n_prompt, P, frames_win = 2, 2, 3  # n_ctx_slots = 1, stride = 2
+    # prompt frame f is constant (f + 1)
+    prompt = jnp.stack(
+        [jnp.full((C, H, W), f + 1.0) for f in range(n_prompt)])[None]
+    roll = sd.make_pipelined_rollout(probe_dit, frames_win, cfg,
+                                     pipeline_depth=P)
+    roll(None, prompt, None, jax.random.PRNGKey(0), num_gen_frames=3)
+    jax.effects_barrier()
+    stride = 2  # ceil((3+1)/2)
+    # cycle 0 (warm-up): base = n_prompt + 0 - (P-1) - 1 = 0 -> ctx slot
+    # holds frame 0 (value 1.0), NOT the newest prompt frame (2.0)
+    win0 = records[0][0]
+    np.testing.assert_allclose(win0[0, 0], np.full((C, H, W), 1.0))
+    assert records[0][2][0]  # ctx slot valid (frame 0 exists)
+    # cycle 1 (first emit cycle): carried ctx = newest prompt frame (2.0)
+    win1 = records[stride][0]
+    np.testing.assert_allclose(win1[0, 0], np.full((C, H, W), 2.0))
+
+
+def test_overshoot_slots_idle_at_pure_noise():
+    """Slots whose raw noise index overshoots the schedule top must leave
+    their latent untouched (idle at pure noise) rather than re-applying the
+    first DDIM step at a mismatched level."""
+    records = []
+
+    def probe_dit(params, x, t, a, valid):
+        jax.debug.callback(
+            lambda x: records.append(np.asarray(x)), x, ordered=True)
+        return jnp.zeros_like(x)
+
+    # steps=2, P=2 -> stride=2, newest slot's first raw index = 3 > steps
+    cfg = sd.SamplerConfig(ddim_noise_steps=2, stabilization_level=15)
+    B, C, H, W = 1, 2, 2, 2
+    prompt = jnp.ones((B, 2, C, H, W))
+    roll = sd.make_pipelined_rollout(probe_dit, 3, cfg, pipeline_depth=2)
+    roll(None, prompt, None, jax.random.PRNGKey(0), num_gen_frames=2)
+    jax.effects_barrier()
+    # within each cycle the newest in-flight slot (window slot 2) overshoots
+    # (raw = stride+1 = 3 > steps) in the first call, so the second call
+    # must see it UNCHANGED; cycle 1's records are at indices 2, 3
+    np.testing.assert_array_equal(records[0][0, 2], records[1][0, 2])
+    np.testing.assert_array_equal(records[2][0, 2], records[3][0, 2])
+    # while cycle 1's OLDER in-flight slot (raw=1 -> started, holding cycle
+    # 0's denoised noise) does change between the two calls
+    assert not np.array_equal(records[2][0, 1], records[3][0, 1])
