@@ -33,126 +33,67 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from gtax.utils.platform import enable_compile_cache, honor_env_platform
+
+honor_env_platform()  # an explicit JAX_PLATFORMS=cpu must win over axon
+enable_compile_cache()  # repeat runs start warm (compile lands in warmup)
+
 
 def main():
     import jax
-    import jax.numpy as jnp
+    import numpy as np
 
     from gtax.data.actions import forward_actions
-    from gtax.models.dit import DiT_MODELS, dit_apply, dit_init
-    from gtax.models.vae import VAE_MODELS, vae_init
-    from gtax.nn import attention as attention_mod
-    from gtax.sampling.diffusion import SamplerConfig, make_rollout
-    from gtax.train.trainer import decode_frames, encode_frames
+    from gtax.serving import ServingConfig, VideoGenerator
 
     frames = int(os.environ.get("GTAX_BENCH_FRAMES", 32))
     steps = int(os.environ.get("GTAX_BENCH_STEPS", 100))
-    dtype = jnp.dtype(os.environ.get("GTAX_BENCH_DTYPE", "bfloat16"))
+    dtype = os.environ.get("GTAX_BENCH_DTYPE", "bfloat16")
     # "fused" = whole-branch Pallas megakernels; numerically equivalent to the
     # xla path (tested) and ~28% faster on v5e
     backend = os.environ.get("GTAX_BENCH_BACKEND", "fused")
     repeats = int(os.environ.get("GTAX_BENCH_REPEATS", 2))
-    attention_mod.set_backend(backend)
-
-    dit_cfg = DiT_MODELS["DiT-S/2"]()
-    vae_cfg = VAE_MODELS["vit-l-20-shallow-encoder"]()
-    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
-    # everything under jit: eager dispatch is pathological through remote
-    # device tunnels and irrelevant to the measured path anyway
-    dit_params = jax.jit(lambda k: dit_init(k, dit_cfg))(k1)
-    vae_params = jax.jit(lambda k: vae_init(k, vae_cfg))(k2)
-    if dtype != jnp.float32 and os.environ.get("GTAX_BENCH_CAST", "1") == "1":
-        from gtax.models.dit import cast_params_for_inference
-
-        dit_params = jax.jit(
-            lambda p: cast_params_for_inference(p, dtype)
-        )(dit_params)
-    if os.environ.get("GTAX_BENCH_UNSTACK", "1") == "1":
-        # serving layout: per-block weight pytrees -> the compiled rollout
-        # contains no weight slicing (dit_apply fast path; docs/PERF.md)
-        from gtax.models.dit import unstack_for_inference
-
-        dit_params = unstack_for_inference(dit_params, dit_cfg)
-    quant = os.environ.get("GTAX_BENCH_QUANT", "int8")
-    if quant == "int8":
-        # W8A8 serving: int8 block GEMMs (MXU int8 = 2x bf16 rate on v5e)
-        from gtax.models.dit import quantize_for_inference
-
-        dit_params = quantize_for_inference(dit_params, dit_cfg)
-
-    def dit_fn(params, x, t, a, valid):
-        return dit_apply(params, dit_cfg, x, t, a, valid, compute_dtype=dtype)
-
     pipeline = int(os.environ.get("GTAX_BENCH_PIPELINE", 1))
     batch = int(os.environ.get("GTAX_BENCH_BATCH", 1))
     broadcast = int(os.environ.get("GTAX_BENCH_BROADCAST", 1))
-    sampler = SamplerConfig(ddim_noise_steps=steps, stabilization_level=15,
-                            attn_broadcast=broadcast)
-    pab = None
-    if broadcast > 1:
-        from gtax.models.dit import make_pab_fns
+    unstack = os.environ.get("GTAX_BENCH_UNSTACK", "1") == "1"
+    cond_cache = os.environ.get("GTAX_BENCH_CONDCACHE", "1") == "1"
+    incremental = os.environ.get("GTAX_BENCH_INCREMENTAL", "1") == "1"
+    quant = os.environ.get("GTAX_BENCH_QUANT", "int8")
 
-        pab = make_pab_fns(dit_cfg, dtype)
-    if pipeline > 1:
-        from gtax.sampling.diffusion import make_pipelined_rollout
-
-        rollout = make_pipelined_rollout(
-            dit_fn, dit_cfg.max_frames, sampler, pipeline_depth=pipeline,
-            pab=pab,
-        )
-    else:
-        cond = None
-        incremental = None
-        if (broadcast == 1
-                and os.environ.get("GTAX_BENCH_UNSTACK", "1") == "1"
-                and os.environ.get("GTAX_BENCH_CONDCACHE", "1") == "1"):
-            # conditioning cache: precompute each frame's adaLN head outputs
-            # for the whole denoise trajectory instead of streaming the
-            # ~200M-param adaLN weights every step — bit-exact (tested)
-            from gtax.models.dit import make_cond_fns
-
-            cond = make_cond_fns(dit_cfg, dtype)
-            if (os.environ.get("GTAX_BENCH_INCREMENTAL", "1") == "1"
-                    and backend in ("fused", "fused_all")):
-                # incremental decoding: context rows are step-invariant, so
-                # prefill their per-block temporal K/V once per frame and
-                # compute only the last frame per denoise step (~1/T of the
-                # FLOPs; reference-exact semantics, docs/PERF.md)
-                from gtax.models.dit import make_incremental_fns
-
-                incremental = make_incremental_fns(dit_cfg, dtype)
-        rollout = make_rollout(dit_fn, dit_cfg.max_frames, sampler, pab=pab,
-                               cond=cond, incremental=incremental)
+    # the benchmark drives the EXACT shipped serving assembly — feature
+    # gating (cond cache, incremental, unstack, quantize, PAB, pipelining)
+    # lives in ONE place, gtax.serving.VideoGenerator
+    cfg = ServingConfig(
+        dtype=dtype, attention_backend=backend, quantize=quant,
+        unstack=unstack, cond_cache=cond_cache, incremental=incremental,
+        pipeline_depth=pipeline, attn_broadcast=broadcast, noise_steps=steps,
+        dit_model=os.environ.get("GTAX_BENCH_DIT_MODEL", "DiT-S/2"),
+        vae_model=os.environ.get("GTAX_BENCH_VAE_MODEL",
+                                 "vit-l-20-shallow-encoder"),
+    )
+    gen = VideoGenerator.load("", "", cfg)  # random flagship-size weights
 
     n_prompt = 4
-    video = jax.random.uniform(
+    vae_cfg = gen.vae_cfg
+    video = np.asarray(jax.random.uniform(
         jax.random.PRNGKey(1),
         (batch, n_prompt, 3, vae_cfg.input_height, vae_cfg.input_width),
-    )
-    actions = jnp.asarray(forward_actions(batch, frames))
-    encode = jax.jit(
-        lambda vp, v: encode_frames(vp, vae_cfg, v, dtype)
-    )
-    decode = jax.jit(
-        lambda vp, lat: decode_frames(vp, vae_cfg, lat, dtype)
-    )
-    latents = encode(vae_params, video)
+    ))
+    actions = np.asarray(forward_actions(batch, frames))
     num_gen = frames - n_prompt
 
     def run():
-        lat = rollout(dit_params, latents, actions, jax.random.PRNGKey(2),
-                      num_gen_frames=num_gen)
-        pix = decode(vae_params, lat)
-        pix.block_until_ready()
-        return pix
+        gen.generate(video, actions, num_frames=frames, seed=2)
+        # rollout + the one batched VAE decode — the reference generate.py
+        # workload; the prompt encode is excluded (input prep, not serving)
+        t = gen.last_timings
+        return t["rollout_s"] + t["decode_s"]
 
     run()  # warmup/compile
-    times = []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        run()
-        times.append(time.perf_counter() - t0)
-    best = min(times)
+    best = min(run() for _ in range(repeats))
     fps = batch * num_gen / best
 
     pipe_tag = f", pipeline_depth={pipeline}" if pipeline > 1 else ""
@@ -172,7 +113,9 @@ def main():
     baseline_fps = None
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BASELINE_MEASURED.json")
-    if os.path.exists(base_path):
+    baseline_workload = (frames == 32 and steps == 100
+                         and cfg.dit_model == "DiT-S/2")
+    if baseline_workload and os.path.exists(base_path):
         with open(base_path) as f:
             measured = json.load(f)
         baseline_fps = measured.get("torch_a100_est_fps", {}).get("high")
@@ -184,7 +127,7 @@ def main():
     result = {
         "metric": (
             f"frames/sec, {frames}-frame {steps}-step action-conditioned "
-            f"generation (DiT-S/2 {dtype.name}, {backend} attention, "
+            f"generation ({cfg.dit_model} {dtype}, {backend} attention, "
             f"{jax.devices()[0].device_kind}{pipe_tag})"
         ),
         "value": round(fps, 4),
@@ -193,7 +136,12 @@ def main():
         "baseline_fps": baseline_fps,
         "baseline_note": "torch A100 eager estimate (high end), BASELINE.md",
     }
-    if pipeline == 1 and broadcast == 1 and batch == 1:
+    default_workload = (
+        pipeline == 1 and broadcast == 1 and batch == 1 and quant == "int8"
+        and frames == 32 and steps == 100 and dtype == "bfloat16"
+        and backend == "fused" and unstack and cond_cache and incremental
+    )
+    if default_workload:
         # the default run measures the reference-equivalent scheme (int8
         # W8A8, full-size-certified at 69.5 dB min vs the torch fp32
         # rollout); carry the exact-bf16 and fastest quality-validated
@@ -233,7 +181,11 @@ def _wait_for_backend(attempts=8, delay_s=30, probe_timeout_s=180):
     for i in range(attempts):
         try:
             r = subprocess.run(
-                [sys.executable, "-c", "import jax; jax.devices()"],
+                [sys.executable, "-c",
+                 "import os, jax\n"
+                 "if os.environ.get('JAX_PLATFORMS', '').startswith('cpu'):\n"
+                 "    jax.config.update('jax_platforms', 'cpu')\n"
+                 "jax.devices()"],
                 cwd=os.path.dirname(os.path.abspath(__file__)),
                 capture_output=True, text=True, timeout=probe_timeout_s,
             )

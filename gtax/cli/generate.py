@@ -117,8 +117,6 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     from gtax.serving import ServingConfig, VideoGenerator
 
-    assert args.batch % max(args.mesh_data, 1) == 0, (
-        f"--batch {args.batch} must divide over --mesh_data {args.mesh_data}")
     cfg = ServingConfig(
         dtype=args.dtype,
         attention_backend=args.attention_backend,

@@ -199,6 +199,9 @@ class VideoGenerator:
         if video.ndim == 4:
             video = video[None]
         B, n_prompt = video.shape[:2]
+        assert num_frames > n_prompt, (
+            f"num_frames={num_frames} must exceed the {n_prompt} prompt "
+            f"frames (it counts prompt + generated)")
         if self.cfg.mesh_data > 1:
             assert B % self.cfg.mesh_data == 0, (
                 f"batch {B} must divide over mesh_data={self.cfg.mesh_data}")

@@ -111,17 +111,24 @@ class MFUCounter:
     """Model-FLOPs-utilisation against a peak-FLOPs figure for the platform."""
 
     # bf16 peak FLOP/s per chip (dense). v5e: 197 TFLOP/s, v4: 275, v5p: 459.
-    PEAKS = {"tpu v5e": 197e12, "tpu v4": 275e12, "tpu v5p": 459e12,
-             "tpu v6e": 918e12, "cpu": 1e12}
+    # Keys must match REAL jax device_kind strings: v5e reports
+    # "TPU v5 lite", v6e reports "TPU v6 lite" (marketing names don't appear
+    # in device_kind — matching "v5e" here silently fell through to the
+    # fallback and understated the peak ~2x, overstating MFU).
+    PEAKS = {"v5 lite": 197e12, "v5e": 197e12, "v6 lite": 918e12,
+             "v6e": 918e12, "v5p": 459e12, "v4": 275e12, "cpu": 1e12}
+
+    @classmethod
+    def peak_for_kind(cls, kind: str) -> float:
+        kind = kind.lower()
+        return next((v for k, v in cls.PEAKS.items() if k in kind), 100e12)
 
     def __init__(self, flops_per_step: float, n_devices: int = 1,
                  peak_per_device: float | None = None):
         self.flops_per_step = flops_per_step
         if peak_per_device is None:
-            kind = jax.devices()[0].device_kind.lower()
-            peak_per_device = next(
-                (v for k, v in self.PEAKS.items() if k in kind), 100e12
-            )
+            peak_per_device = self.peak_for_kind(
+                jax.devices()[0].device_kind)
         self.peak = peak_per_device * n_devices
 
     def mfu(self, step_seconds: float) -> float:

@@ -27,6 +27,10 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from gtax.utils.platform import honor_env_platform
+
+honor_env_platform()  # an explicit JAX_PLATFORMS=cpu must win over axon
+
 import jax
 import jax.numpy as jnp
 import numpy as np

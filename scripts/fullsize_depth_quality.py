@@ -32,6 +32,10 @@ REPO = os.path.dirname(SCRIPTS)
 FULL = os.path.join(REPO, "tests", "golden_full")
 sys.path.insert(0, REPO)
 
+from gtax.utils.platform import honor_env_platform
+
+honor_env_platform()  # an explicit JAX_PLATFORMS=cpu must win over axon
+
 
 def main():
     p = argparse.ArgumentParser()

@@ -15,6 +15,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from gtax.utils.platform import honor_env_platform
+
+honor_env_platform()  # an explicit JAX_PLATFORMS=cpu must win over axon
+
 
 def main():
     p = argparse.ArgumentParser()

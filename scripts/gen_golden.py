@@ -136,6 +136,10 @@ def randomize_(model: torch.nn.Module, seed: int, std: float = 0.05):
 def main():
     install_stubs()
     sys.path.insert(0, REFERENCE)
+
+from gtax.utils.platform import honor_env_platform
+
+honor_env_platform()  # an explicit JAX_PLATFORMS=cpu must win over axon
     torch.manual_seed(0)
     from safetensors.torch import save_model
 

@@ -30,6 +30,10 @@ OUT = os.path.join(REPO, "tests", "golden_full")
 os.makedirs(OUT, exist_ok=True)
 sys.path.insert(0, SCRIPTS)
 
+from gtax.utils.platform import honor_env_platform
+
+honor_env_platform()  # an explicit JAX_PLATFORMS=cpu must win over axon
+
 from gen_golden import install_stubs, randomize_  # noqa: E402
 
 
