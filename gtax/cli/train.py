@@ -12,7 +12,9 @@ the standard TPU environment automatically when available.
 from __future__ import annotations
 
 import argparse
+import glob
 import logging
+import os
 
 from gtax.utils.platform import enable_compile_cache, honor_env_platform
 
@@ -27,6 +29,15 @@ def main(argv=None):
                         help="local shard dir for the webdataset backend")
     parser.add_argument("--dummy_size", type=int, default=None,
                         help="override the dummy dataset length (smoke runs)")
+    parser.add_argument("--latent_cache", type=str, default=None,
+                        help="directory of precomputed VAE latents for the "
+                             "TRAIN split (gtax.data.latents). Built on "
+                             "first use from the configured dataset; later "
+                             "runs train straight from the cache — the "
+                             "frozen VAE encode leaves the step entirely "
+                             "(bit-identical losses, tested). Validation "
+                             "stays on the pixel dataset so mp4/grid evals "
+                             "keep working.")
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -54,9 +65,6 @@ def main(argv=None):
 
     dataset_kw = {}
     if args.dataset_root and config.dataset_type == "webdataset":
-        import glob
-        import os
-
         dataset_kw["shards"] = sorted(
             glob.glob(os.path.join(args.dataset_root, "*.tar"))
         )
@@ -79,6 +87,27 @@ def main(argv=None):
 
     train_loader, val_loader = build_loaders(config, **dataset_kw)
     trainer = Trainer(config, total_dataset_size=len(train_loader.dataset))
+
+    if args.latent_cache:
+        import jax
+
+        from gtax.data.latents import LatentCacheDataset
+        from gtax.data.loader import DataLoader
+
+        if not os.path.exists(os.path.join(args.latent_cache, "meta.json")):
+            assert jax.process_count() == 1, (
+                "--latent_cache: build the cache single-process first "
+                "(multi-host runs read a prebuilt cache)")
+            logging.info("Building latent cache at %s ...", args.latent_cache)
+            lat_ds = LatentCacheDataset.build(
+                train_loader.dataset, trainer.vae_params, trainer.vae_cfg,
+                args.latent_cache, compute_dtype=trainer.compute_dtype)
+        else:
+            lat_ds = LatentCacheDataset(args.latent_cache)
+        train_loader = DataLoader(
+            lat_ds, batch_size=train_loader.batch_size,
+            num_workers=train_loader.num_workers, seed=config.seed,
+            rank=train_loader.rank, world=train_loader.world)
 
     # wandb init happens inside training_loop (after resume, so the run id
     # from step.json resumes the same wandb run — reference train_dit.py:810-830)

@@ -1,0 +1,118 @@
+"""Precomputed-latent training: encode each clip through the frozen VAE
+ONCE, cache the latents, and feed them straight into the diffusion loss.
+
+The reference re-encodes every batch through the frozen 0.24B VAE inside
+every training step, forever (/root/reference/train_dit.py:570 — the VAE
+never trains, so this is pure repeated work). Caching removes the encode
+from the step's critical path entirely — the single biggest train-step
+FLOP reduction available without touching the model — and shrinks the
+compiled step program.
+
+Latents are stored pre-scaled (encode_frames output: posterior mean *
+LATENT_SCALE), so cached training is BIT-IDENTICAL to on-the-fly encoding
+with the same VAE params and compute dtype (tested).
+
+    ds = make_dataset("hfdataset", "train", True)
+    lat = LatentCacheDataset.build(ds, vae_params, vae_cfg, "cache/train")
+    # later runs: LatentCacheDataset("cache/train")
+
+The cache is two npy files (memory-mapped on read):
+    latents.npy  (N, T, C, h, w) float32 (or float16 via dtype=)
+    actions.npy  (N, T, A) float32           [only when the clips carry them]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+
+class LatentCacheDataset:
+    """Map-style dataset over a latent cache directory."""
+
+    def __init__(self, cache_dir: str):
+        meta_path = os.path.join(cache_dir, "meta.json")
+        with open(meta_path) as f:
+            self.meta = json.load(f)
+        self.latents = np.load(
+            os.path.join(cache_dir, "latents.npy"), mmap_mode="r")
+        act_path = os.path.join(cache_dir, "actions.npy")
+        self.actions = (
+            np.load(act_path, mmap_mode="r") if os.path.exists(act_path)
+            else None)
+        self.cache_dir = cache_dir
+
+    def __len__(self):
+        return self.latents.shape[0]
+
+    def __getitem__(self, i):
+        item = {"latents": np.asarray(self.latents[i], np.float32)}
+        if self.actions is not None:
+            item["actions"] = np.asarray(self.actions[i], np.float32)
+        return item
+
+    @classmethod
+    def build(cls, dataset, vae_params, vae_cfg, cache_dir: str,
+              encode_batch: int = 32, compute_dtype=None,
+              dtype=np.float32, progress_every: int = 50):
+        """Encode a map-style clip dataset into a latent cache.
+
+        dataset[i] must yield {"video": (T, 3, H, W) float32 [0,1],
+        "actions": (T, A)?}. Uses the SAME encode_frames path as the
+        trainer, so cached and on-the-fly training produce identical
+        losses for identical (vae_params, compute_dtype)."""
+        import jax
+        import jax.numpy as jnp
+
+        from gtax.train.trainer import encode_frames
+
+        assert hasattr(dataset, "__getitem__"), (
+            "LatentCacheDataset.build needs a map-style dataset "
+            "(hfdataset/dummy); stream a tar split to disk first")
+
+        if compute_dtype is None:
+            compute_dtype = jnp.float32
+        os.makedirs(cache_dir, exist_ok=True)
+        n = len(dataset)
+        encode = jax.jit(
+            lambda v: encode_frames(vae_params, vae_cfg, v, compute_dtype))
+
+        lat_path = os.path.join(cache_dir, "latents.npy")
+        act_path = os.path.join(cache_dir, "actions.npy")
+        lat_out = act_out = None
+        done = 0
+        while done < n:
+            hi = min(done + encode_batch, n)
+            samples = [dataset[i] for i in range(done, hi)]
+            video = np.stack(
+                [np.asarray(s["video"], np.float32) for s in samples])
+            lat = np.asarray(encode(jnp.asarray(video)), dtype)
+            if lat_out is None:
+                lat_out = np.lib.format.open_memmap(
+                    lat_path, mode="w+", dtype=dtype,
+                    shape=(n,) + lat.shape[1:])
+                if "actions" in samples[0]:
+                    a0 = np.asarray(samples[0]["actions"], np.float32)
+                    act_out = np.lib.format.open_memmap(
+                        act_path, mode="w+", dtype=np.float32,
+                        shape=(n,) + a0.shape)
+            lat_out[done:hi] = lat
+            if act_out is not None:
+                act_out[done:hi] = np.stack(
+                    [np.asarray(s["actions"], np.float32) for s in samples])
+            done = hi
+            if progress_every and (done // encode_batch) % progress_every == 0:
+                print(f"[gtax.data] latent cache: {done}/{n}")
+        lat_out.flush()
+        if act_out is not None:
+            act_out.flush()
+        with open(os.path.join(cache_dir, "meta.json"), "w") as f:
+            json.dump({
+                "n": n, "latent_shape": list(lat_out.shape[1:]),
+                "dtype": np.dtype(dtype).name,
+                "latent_dim": vae_cfg.latent_dim,
+                "has_actions": act_out is not None,
+            }, f)
+        return cls(cache_dir)

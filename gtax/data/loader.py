@@ -24,8 +24,11 @@ import numpy as np
 
 @dataclass
 class Batch:
-    video: np.ndarray                 # (B, T, 3, H, W) float32
+    video: np.ndarray                 # (B, T, 3, H, W) float32 pixels — OR
+    #                                   (B, T, C, h, w) pre-encoded latents
+    #                                   when is_latents (LatentCacheDataset)
     actions: Optional[np.ndarray]     # (B, T, A) float32 or None
+    is_latents: bool = False
 
 
 def make_dataset(dataset_type: str, split: str, return_actions: bool, **kw):
@@ -164,16 +167,21 @@ class DataLoader:
         def producer():
             try:
                 batch_vid, batch_act = [], []
+                is_latents = False
                 for sample in self._decoded_iter():
                     if stop.is_set():
                         return
-                    batch_vid.append(np.asarray(sample["video"], np.float32))
+                    is_latents = "latents" in sample
+                    batch_vid.append(np.asarray(
+                        sample["latents" if is_latents else "video"],
+                        np.float32))
                     if "actions" in sample:
                         batch_act.append(np.asarray(sample["actions"], np.float32))
                     if len(batch_vid) == self.batch_size:
                         if not put(Batch(
                             video=np.stack(batch_vid),
                             actions=np.stack(batch_act) if batch_act else None,
+                            is_latents=is_latents,
                         )):
                             return
                         batch_vid, batch_act = [], []
@@ -181,6 +189,7 @@ class DataLoader:
                     put(Batch(
                         video=np.stack(batch_vid),
                         actions=np.stack(batch_act) if batch_act else None,
+                        is_latents=is_latents,
                     ))
             except BaseException as e:  # surface in the consumer, not stderr
                 put(e)
@@ -228,7 +237,7 @@ def device_prefetch(batches: Iterator[Batch], sharding=None, depth: int = 2):
         else:
             video = jax.device_put(b.video)
             actions = jax.device_put(b.actions) if b.actions is not None else None
-        return Batch(video=video, actions=actions)
+        return Batch(video=video, actions=actions, is_latents=b.is_latents)
 
     it = iter(batches)
     try:

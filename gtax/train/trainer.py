@@ -262,15 +262,19 @@ class Trainer:
 
         grad_fn = jax.value_and_grad(loss_for_micro, has_aux=True)
 
-        def train_step(params, opt_state, vae_params, video, actions, rng):
-            # video: (accum, B, T, 3, H, W) — micro-batches stacked in front.
+        def train_step(params, opt_state, vae_params, video, actions, rng,
+                       pre_encoded=False):
+            # video: (accum, B, T, 3, H, W) pixel micro-batches stacked in
+            # front — or (accum, B, T, C, h, w) pre-encoded latents when
+            # pre_encoded (LatentCacheDataset; the frozen VAE ran ONCE at
+            # cache-build time instead of every step).
             # The frozen VAE encode runs OUTSIDE value_and_grad (the VAE takes
             # no gradient; keeping it out of the grad graph roughly halves
             # the compiled program).
             def micro(carry, inp):
                 grads_acc, loss_acc = carry
                 v, a, key = inp
-                latents = encode_frames(
+                latents = v if pre_encoded else encode_frames(
                     vae_params, self.vae_cfg, v, self.compute_dtype
                 )
                 (_, mean_loss), grads = grad_fn(params, latents, a, key)
@@ -300,16 +304,19 @@ class Trainer:
             }
             return params, opt_state, metrics
 
-        self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+        self._train_step = jax.jit(train_step, donate_argnums=(0, 1),
+                                   static_argnames=("pre_encoded",))
 
-        def eval_step(params, vae_params, video, actions, rng):
-            latents = encode_frames(
+        def eval_step(params, vae_params, video, actions, rng,
+                      pre_encoded=False):
+            latents = video if pre_encoded else encode_frames(
                 vae_params, self.vae_cfg, video, self.compute_dtype
             )
             _, mean_loss = loss_for_micro(params, latents, actions, rng)
             return mean_loss
 
-        self._eval_step = jax.jit(eval_step)
+        self._eval_step = jax.jit(eval_step,
+                                  static_argnames=("pre_encoded",))
 
         # rollout for predict(): closure over current params at call time
         self._rollout_cache = {}
@@ -377,7 +384,8 @@ class Trainer:
                         np.stack(stack_a) if stack_a[0] is not None else None
                     )
                     stack_v, stack_a = [], []
-                    yield Batch(video=video, actions=actions)
+                    yield Batch(video=video, actions=actions,
+                                is_latents=b.is_latents)
 
         del B
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -390,7 +398,7 @@ class Trainer:
         self.rng, key = jax.random.split(self.rng)
         self.dit_params, self.opt_state, metrics = self._train_step(
             self.dit_params, self.opt_state, self.vae_params, batch.video,
-            batch.actions, key,
+            batch.actions, key, pre_encoded=batch.is_latents,
         )
         metrics = {k: float(v) for k, v in metrics.items()}
         dt = self.timer.stop()
@@ -427,7 +435,7 @@ class Trainer:
                 float(
                     self._eval_step(
                         self.dit_params, self.vae_params, batch.video,
-                        batch.actions, key,
+                        batch.actions, key, pre_encoded=batch.is_latents,
                     )
                 )
             )
@@ -442,7 +450,9 @@ class Trainer:
             )
         logger.info("val_loss=%.5f at step %d", avg, self.global_step)
         self.log_metrics({"val_loss": avg}, epoch=self.start_epoch)
-        if first_batch is not None:
+        if first_batch is not None and not first_batch.is_latents:
+            # predict/renoise visualise pixels; latent-cache val batches
+            # carry none (point the val loader at a pixel dataset for mp4s)
             try:
                 self.predict(first_batch)
                 self.predict_noise(first_batch)

@@ -35,7 +35,7 @@ FRAME_HW = (48, 64)
 
 
 def tiny_trainer(tmp_path, **cfg_overrides):
-    config = TrainingConfig.from_dict(dict(
+    base = dict(
         dataset_type="dummy", batch_size=2, validation_batch_size=2,
         num_epochs=1, max_steps=3, gradient_accumulation_steps=1,
         ddim_noise_steps=8, ddim_noise_steps_inference=4, ctx_max_noise_idx=3,
@@ -43,8 +43,9 @@ def tiny_trainer(tmp_path, **cfg_overrides):
         learning_rate=1e-3, min_learning_rate=1e-4, weight_decay=0.0,
         output_dir=str(tmp_path), compute_dtype="float32",
         validation_steps=0, save_every=0, logging_steps=1,
-        **cfg_overrides,
-    ))
+    )
+    base.update(cfg_overrides)
+    config = TrainingConfig.from_dict(base)
     key = jax.random.PRNGKey(0)
     trainer = Trainer(
         config, total_dataset_size=64,
@@ -277,3 +278,62 @@ def test_rollout_and_video(tmp_path, monkeypatch):
     path = trainer.predict(Batch(video=b.video, actions=b.actions),
                            num_frames=7)
     assert os.path.exists(path)
+
+
+def test_latent_cache_training_bit_identical(tmp_path):
+    """Precomputed-latent training (gtax.data.latents) must produce the SAME
+    losses as on-the-fly VAE encoding: latents are cached pre-scaled through
+    the identical encode_frames path."""
+    from gtax.data.latents import LatentCacheDataset
+
+    class DeterministicClips:
+        """index-keyed clips (DummyDataset draws actions per ACCESS, which
+        would give the two runs different data)."""
+
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            rng = np.random.default_rng(100 + i)
+            return {
+                "video": rng.random((5, 3, *FRAME_HW), np.float32),
+                "actions": rng.random((5, 25), np.float32),
+            }
+
+    ds = DeterministicClips()
+
+    mesh = meshlib.make_mesh(meshlib.MeshConfig(data=1, model=1),
+                             devices=jax.devices()[:1])
+
+    def run(loader):
+        trainer, config = tiny_trainer(tmp_path / "out", max_steps=2)
+        trainer = Trainer(
+            config, total_dataset_size=8, dit_cfg=TINY_DIT,
+            vae_cfg=TINY_VAE, dit_params=dit_init(jax.random.PRNGKey(0),
+                                                  TINY_DIT),
+            vae_params=vae_init(jax.random.PRNGKey(0), TINY_VAE), mesh=mesh)
+        losses = []
+        trainer.training_loop(
+            loader, val_loader=None,
+            callbacks=[lambda tr, m: losses.append(m["train_loss"])])
+        return losses
+
+    pixel_losses = run(DataLoader(ds, batch_size=2, num_workers=1, seed=0))
+
+    # the cache must encode with the SAME vae params the trainer uses
+    probe, _ = tiny_trainer(tmp_path / "probe", max_steps=0)
+    lat_ds = LatentCacheDataset.build(
+        ds, probe.vae_params, TINY_VAE, str(tmp_path / "cache"),
+        encode_batch=4, compute_dtype=jnp.float32)
+    assert len(lat_ds) == len(ds)
+    sample = lat_ds[0]
+    assert sample["latents"].shape == (5, 4, TINY_VAE.seq_h, TINY_VAE.seq_w)
+    assert "actions" in sample
+
+    lat_losses = run(DataLoader(lat_ds, batch_size=2, num_workers=1, seed=0))
+    assert lat_losses == pixel_losses  # bit-identical
+
+    # reopening the cache from disk works too
+    reopened = LatentCacheDataset(str(tmp_path / "cache"))
+    np.testing.assert_array_equal(reopened[3]["latents"],
+                                  lat_ds[3]["latents"])
