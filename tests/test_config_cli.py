@@ -108,3 +108,55 @@ def test_generate_cli_flag_parity():
     assert args.total_frames == 8
     assert args.noise_steps == 20
     assert args.use_actions and args.start_frame == "img.jpg"
+
+
+def test_export_cli_roundtrip(tmp_path):
+    """gtax.cli.export converts an orbax train checkpoint to
+    reference-format safetensors that load back identically."""
+    import jax
+    import numpy as np
+
+    from gtax.cli.export import main as export_main
+    from gtax.io import safetensors_port as port
+    from gtax.data.loader import Batch, DataLoader
+    from gtax.data.dummy import DummyDataset
+    from gtax.models.dit import DiT_MODELS, dit_init
+    from gtax.models.vae import VAE_MODELS, vae_init
+    from gtax.train.config import TrainingConfig
+    from gtax.train.trainer import Trainer
+
+    dit_cfg = DiT_MODELS["DiT-debug"]()
+    vae_cfg = VAE_MODELS["vae-debug"]()
+    config = TrainingConfig.from_dict(dict(
+        dataset_type="dummy", batch_size=2, num_epochs=1, max_steps=1,
+        ddim_noise_steps=4, ctx_max_noise_idx=2, n_prompt_frames=4,
+        use_wandb=False, use_action_conditioning=True, learning_rate=1e-3,
+        output_dir=str(tmp_path), compute_dtype="float32",
+        validation_steps=0, save_every=1, model_name="dit_debug",
+    ))
+    key = jax.random.PRNGKey(0)
+    trainer = Trainer(config, total_dataset_size=8, dit_cfg=dit_cfg,
+                      vae_cfg=vae_cfg, dit_params=dit_init(key, dit_cfg),
+                      vae_params=vae_init(key, vae_cfg))
+    ds = DummyDataset("train", return_actions=True,
+                      height=vae_cfg.input_height, width=vae_cfg.input_width)
+    b = next(iter(DataLoader(ds, batch_size=2, num_workers=1)))
+    trainer.train_step(Batch(video=np.stack([b.video]),
+                             actions=np.stack([b.actions])))
+    trainer.global_step = 1
+    trainer.save_checkpoint(epoch=0)
+
+    out = str(tmp_path / "exported.safetensors")
+    ckpt = str(tmp_path / "train_checkpoints" / "dit_debug_last")
+    export_main([ckpt, "--out", out, "--dit_model", "DiT-debug"])
+
+    # the exported torch-layout dict must match a direct conversion of the
+    # live trained params bit-for-bit
+    torch_sd = port.dit_to_torch(jax.device_get(trainer.dit_params),
+                                 dit_cfg)
+    from safetensors.numpy import load_file
+
+    exported = load_file(out)
+    assert set(exported) == set(torch_sd)
+    for k in torch_sd:
+        np.testing.assert_array_equal(exported[k], np.asarray(torch_sd[k]))
