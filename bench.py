@@ -182,10 +182,9 @@ def _wait_for_backend(attempts=8, delay_s=30, probe_timeout_s=180):
         try:
             r = subprocess.run(
                 [sys.executable, "-c",
-                 "import os, jax\n"
-                 "if os.environ.get('JAX_PLATFORMS', '').startswith('cpu'):\n"
-                 "    jax.config.update('jax_platforms', 'cpu')\n"
-                 "jax.devices()"],
+                 "from gtax.utils.platform import honor_env_platform\n"
+                 "honor_env_platform()\n"
+                 "import jax; jax.devices()"],
                 cwd=os.path.dirname(os.path.abspath(__file__)),
                 capture_output=True, text=True, timeout=probe_timeout_s,
             )

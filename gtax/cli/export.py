@@ -52,6 +52,7 @@ def main(argv=None):
                    help="checkpoint step (default: step.json)")
     args = p.parse_args(argv)
 
+    import jax
     import orbax.checkpoint as ocp
 
     from gtax.io import safetensors_port as port
@@ -63,7 +64,7 @@ def main(argv=None):
     params = state["params"]
     cfg = DiT_MODELS[args.dit_model]()
     port.save_dit(args.out, params, cfg)
-    n = sum(x.size for x in __import__("jax").tree.leaves(params))
+    n = sum(x.size for x in jax.tree.leaves(params))
     print(f"exported {n / 1e6:.1f}M params from {state_dir} to {args.out}")
     return args.out
 

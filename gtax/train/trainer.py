@@ -754,23 +754,18 @@ def build_loaders(config: TrainingConfig, **dataset_kw):
         dataset_kw.setdefault("worker_index", rank)
         dataset_kw.setdefault("num_workers", world)
     # a custom 'shards' list must not leak into the validation split (val
-    # would silently evaluate on the training shards); pass val_shards= (or
-    # val_size=) to point validation at its own data
-    val_kw = dict(dataset_kw)
-    val_kw.pop("shards", None)
-    val_kw.pop("size", None)
+    # would silently evaluate on the training shards); val_shards=/val_size=
+    # point validation at its own data
+    split_only = ("shards", "size", "val_shards", "val_size")
+    val_kw = {k: v for k, v in dataset_kw.items() if k not in split_only}
     if "val_shards" in dataset_kw:
-        val_kw["shards"] = val_kw.pop("val_shards")
-        dataset_kw = {k: v for k, v in dataset_kw.items()
-                      if k != "val_shards"}
+        val_kw["shards"] = dataset_kw.pop("val_shards")
     if "val_size" in dataset_kw:
-        val_kw["size"] = val_kw.pop("val_size")
-        dataset_kw = {k: v for k, v in dataset_kw.items()
-                      if k != "val_size"}
+        val_kw["size"] = dataset_kw.pop("val_size")
     if "shards" in dataset_kw and "shards" not in val_kw:
         logger.warning(
             "custom train shards without val_shards: validation falls back "
-            "to the registry '%s' split", "validation")
+            "to the registry 'validation' split")
     train_ds = make_dataset(
         config.dataset_type, "train", config.use_action_conditioning,
         **dataset_kw,
