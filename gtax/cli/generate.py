@@ -103,6 +103,10 @@ def build_parser():
                         "divide by N) — the fastest single-chip path (int8 "
                         "+ fused + incremental) scales to ~N x aggregate "
                         "frames/sec. Mutually exclusive with --mesh_model.")
+    p.add_argument("--decode_chunk", type=int, default=None,
+                   help="decode at most N frames per VAE call (bounds "
+                        "decoder memory for long rollouts; bit-identical "
+                        "output)")
     p.add_argument("--dit_model", type=str, default="DiT-S/2",
                    help="model preset (gtax.models.dit.DiT_MODELS); "
                         "'DiT-debug' + empty --dit_model_path gives a "
@@ -129,6 +133,7 @@ def main(argv=None):
         noise_steps=args.noise_steps,
         mesh_data=args.mesh_data,
         mesh_model=args.mesh_model,
+        decode_chunk=args.decode_chunk,
         dit_model=args.dit_model,
         vae_model=args.vae_model,
     )

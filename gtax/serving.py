@@ -50,6 +50,10 @@ class ServingConfig:
     noise_steps: int = 100
     mesh_data: int = 1                 # >1: shard_map batched serving
     mesh_model: int = 1                # >1: GSPMD tensor-parallel serving
+    # decode at most this many frames per VAE call (bounds decoder activation
+    # memory for long rollouts; None = one batched decode like the reference,
+    # generate.py:238-242). Bit-identical output either way (per-frame model).
+    decode_chunk: int | None = None
     dit_model: str = "DiT-S/2"
     vae_model: str = "vit-l-20-shallow-encoder"
 
@@ -172,6 +176,28 @@ class VideoGenerator:
                 lambda k: vae_init(k, vae_cfg))(jax.random.PRNGKey(1))
         return cls(dit_params, vae_params, cfg)
 
+    def _decode_frames(self, lat) -> np.ndarray:
+        """VAE-decode latents to uint8 pixels, optionally in frame chunks.
+
+        The VAE is per-frame, so chunking is bit-identical; it bounds the
+        decoder's activation footprint (~chunk x 576 x 1024 rows) for
+        multi-hundred-frame rollouts."""
+        chunk = self.cfg.decode_chunk
+        T = lat.shape[1]
+        if chunk is None or chunk >= T:
+            return np.asarray(self._decode(self.vae_params, lat))
+        # equal-size chunks reuse ONE compiled decode; the ragged tail (if
+        # any) compiles once more
+        parts = [
+            np.asarray(self._decode(self.vae_params, lat[:, i:i + chunk]))
+            for i in range(0, T - T % chunk, chunk)
+        ]
+        if T % chunk:
+            parts.append(
+                np.asarray(self._decode(self.vae_params,
+                                        lat[:, T - T % chunk:])))
+        return np.concatenate(parts, axis=1)
+
     def _dp_runner(self, num_gen_frames: int):
         if num_gen_frames not in self._dp_runners:
             from gtax.parallel import mesh as meshlib
@@ -244,7 +270,7 @@ class VideoGenerator:
                                 key=lambda s: s.index[0].start or 0)
                 lat = np.concatenate(
                     [np.asarray(s.data) for s in shards], axis=0)
-            pixels = np.asarray(self._decode(self.vae_params, lat))
+            pixels = self._decode_frames(lat)
             t3 = time.perf_counter()
         self.last_timings = {"encode_s": t1 - t0, "rollout_s": t2 - t1,
                              "decode_s": t3 - t2}

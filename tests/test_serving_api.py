@@ -76,6 +76,18 @@ def test_generators_do_not_share_backend_state(gen):
     assert attention_mod.get_backend() == before
 
 
+def test_decode_chunking_bit_identical(gen):
+    """decode_chunk bounds decoder memory for long rollouts; the VAE is
+    per-frame so chunked output must equal the single batched decode."""
+    p = _prompt(gen)
+    ref = gen.generate(p, num_frames=7, seed=1)
+    chunked = VideoGenerator(
+        gen.dit_params, gen.vae_params,
+        dataclasses.replace(CFG, decode_chunk=3))
+    out = chunked.generate(p, num_frames=7, seed=1)
+    np.testing.assert_array_equal(out, ref)
+
+
 def test_last_timings_populated(gen):
     gen.generate(_prompt(gen), num_frames=4, seed=0)
     t = gen.last_timings
