@@ -45,7 +45,9 @@ class LatentCacheDataset:
         self.cache_dir = cache_dir
 
     def __len__(self):
-        return self.latents.shape[0]
+        # meta n, not the file's leading dim: a stream that ended early
+        # leaves the preallocated memmap larger than the sample count
+        return self.meta["n"]
 
     def __getitem__(self, i):
         item = {"latents": np.asarray(self.latents[i], np.float32)}
@@ -56,26 +58,36 @@ class LatentCacheDataset:
     @classmethod
     def build(cls, dataset, vae_params, vae_cfg, cache_dir: str,
               encode_batch: int = 32, compute_dtype=None,
-              dtype=np.float32, progress_every: int = 50):
-        """Encode a map-style clip dataset into a latent cache.
+              dtype=np.float32, progress_every: int = 50,
+              max_samples: int | None = None):
+        """Encode a clip dataset into a latent cache.
 
-        dataset[i] must yield {"video": (T, 3, H, W) float32 [0,1],
-        "actions": (T, A)?}. Uses the SAME encode_frames path as the
-        trainer, so cached and on-the-fly training produce identical
-        losses for identical (vae_params, compute_dtype)."""
+        Samples must be {"video": (T, 3, H, W) float32 [0,1],
+        "actions": (T, A)?}. Map-style datasets (hfdataset/dummy) are read
+        by index; iterable streams (the tar streamer) are consumed in
+        stream order for up to min(len(dataset), max_samples) clips — make
+        the stream non-resampled or pass max_samples, or the build runs to
+        the registry split size. Uses the SAME encode_frames path as the
+        trainer, so cached and on-the-fly training produce identical losses
+        for identical (vae_params, compute_dtype)."""
+        import itertools
+
         import jax
         import jax.numpy as jnp
 
         from gtax.train.trainer import encode_frames
 
-        assert hasattr(dataset, "__getitem__"), (
-            "LatentCacheDataset.build needs a map-style dataset "
-            "(hfdataset/dummy); stream a tar split to disk first")
-
         if compute_dtype is None:
             compute_dtype = jnp.float32
         os.makedirs(cache_dir, exist_ok=True)
         n = len(dataset)
+        if max_samples is not None:
+            n = min(n, max_samples)
+        assert n > 0, "dataset reports zero length; pass max_samples"
+        if hasattr(dataset, "__getitem__"):
+            sample_iter = (dataset[i] for i in range(n))
+        else:
+            sample_iter = itertools.islice(iter(dataset), n)
         encode = jax.jit(
             lambda v: encode_frames(vae_params, vae_cfg, v, compute_dtype))
 
@@ -84,8 +96,10 @@ class LatentCacheDataset:
         lat_out = act_out = None
         done = 0
         while done < n:
-            hi = min(done + encode_batch, n)
-            samples = [dataset[i] for i in range(done, hi)]
+            samples = list(itertools.islice(sample_iter, encode_batch))
+            if not samples:  # stream ended early (non-resampled short split)
+                break
+            hi = done + len(samples)
             video = np.stack(
                 [np.asarray(s["video"], np.float32) for s in samples])
             lat = np.asarray(encode(jnp.asarray(video)), dtype)
@@ -105,12 +119,13 @@ class LatentCacheDataset:
             done = hi
             if progress_every and (done // encode_batch) % progress_every == 0:
                 print(f"[gtax.data] latent cache: {done}/{n}")
+        assert lat_out is not None, "dataset yielded no samples"
         lat_out.flush()
         if act_out is not None:
             act_out.flush()
         with open(os.path.join(cache_dir, "meta.json"), "w") as f:
             json.dump({
-                "n": n, "latent_shape": list(lat_out.shape[1:]),
+                "n": done, "latent_shape": list(lat_out.shape[1:]),
                 "dtype": np.dtype(dtype).name,
                 "latent_dim": vae_cfg.latent_dim,
                 "has_actions": act_out is not None,

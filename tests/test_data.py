@@ -295,3 +295,46 @@ def test_dataloader_parallel_decode_deterministic():
     par = [b.video[:, 0].tolist()
            for b in DataLoader(ds, batch_size=4, num_workers=4, seed=5)]
     assert par == seq
+
+
+def test_latent_cache_from_stream(tmp_path):
+    """LatentCacheDataset.build consumes an iterable tar stream in stream
+    order, truncating to the actual sample count when the stream ends
+    before the nominal split length."""
+    import jax
+    import jax.numpy as jnp
+
+    from gtax.data.latents import LatentCacheDataset
+    from gtax.models.vae import VAEConfig, vae_init
+    from gtax.train.trainer import encode_frames
+
+    vae_cfg = VAEConfig(latent_dim=4, input_height=54, input_width=480,
+                        patch_size=6, enc_dim=32, enc_depth=1, enc_heads=2,
+                        dec_dim=32, dec_depth=1, dec_heads=2, mlp_ratio=2.0)
+    vae_params = vae_init(jax.random.PRNGKey(0), vae_cfg)
+
+    shard = str(tmp_path / "00000.tar")
+    make_shard(shard, 5, h=54 * 5, w=480)  # 5-frame strips, native size
+    from gtax.data.common import ClipTransform
+
+    ds = WebTarDataset(
+        split="train", return_actions=True, shards=[shard],
+        shuffle_buffer=1, resampled=False, shuffle_shards=False,
+        size=100,  # nominal length larger than the actual 5 samples
+        transform=ClipTransform(target_h=54, target_w=480),
+    )
+    lat_ds = LatentCacheDataset.build(
+        ds, vae_params, vae_cfg, str(tmp_path / "cache"), encode_batch=2,
+        compute_dtype=jnp.float32)
+    assert len(lat_ds) == 5  # truncated to the stream's real count
+    # stream order preserved: row 0 re-encodes the first streamed clip
+    first = next(iter(WebTarDataset(
+        split="train", return_actions=True, shards=[shard],
+        shuffle_buffer=1, resampled=False, shuffle_shards=False,
+        transform=ClipTransform(target_h=54, target_w=480))))
+    expect = encode_frames(vae_params, vae_cfg,
+                           jnp.asarray(first["video"])[None], jnp.float32)[0]
+    # tight tolerance, not bit-equal: the cache encoded a batch of 2 clips,
+    # the expectation a batch of 1 — XLA reduction order differs
+    np.testing.assert_allclose(lat_ds[0]["latents"], np.asarray(expect),
+                               atol=1e-6, rtol=1e-5)
