@@ -250,9 +250,10 @@ if __name__ == "__main__":
     print(f"torch: rollout {torch_s:.0f}s, per-forward {torch_fwd*1e3:.0f}ms",
           flush=True)
 
-    from gtax.utils.metrics import per_frame_psnr
+    from gtax.utils.metrics import per_frame_psnr, per_frame_ssim
 
     scores = per_frame_psnr(ours, ref)
+    ssim_scores = per_frame_ssim(ours, ref)
     lat_rmse = float(np.sqrt(np.mean((ours_lat - ref_lat) ** 2)))
     n_fwd = (args.frames - 1) * (args.steps + 1)
     result = {
@@ -262,6 +263,9 @@ if __name__ == "__main__":
         "psnr_per_frame": [round(float(s), 2) for s in scores],
         "psnr_min": round(float(min(scores)), 2),
         "psnr_mean": round(float(np.mean(scores)), 2),
+        # secondary signal; the gate itself stays PSNR (BASELINE.md)
+        "ssim_min": round(float(min(ssim_scores)), 4),
+        "ssim_mean": round(float(np.mean(ssim_scores)), 4),
         "latent_rmse": lat_rmse,
         "pass": float(min(scores)) >= args.min_psnr,
         "torch_cpu_rollout_s": round(torch_s, 1),
