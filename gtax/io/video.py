@@ -51,9 +51,18 @@ def read_video(path: str) -> np.ndarray:
 def read_image(path: str, size_hw: tuple[int, int] | None = None) -> np.ndarray:
     """Read an image as float32 (3, H, W) in [0, 1], optionally resized
     (bilinear) — mirrors the reference prompt path (generate.py:150-154)."""
+    with open(path, "rb") as f:
+        return read_image_bytes(f.read(), size_hw)
+
+
+def read_image_bytes(data: bytes,
+                     size_hw: tuple[int, int] | None = None) -> np.ndarray:
+    """read_image over in-memory encoded bytes (HTTP serving path)."""
+    import io as _io
+
     from PIL import Image
 
-    img = Image.open(path).convert("RGB")
+    img = Image.open(_io.BytesIO(data)).convert("RGB")
     if size_hw is not None:
         img = img.resize((size_hw[1], size_hw[0]), Image.BILINEAR)
     arr = np.asarray(img, dtype=np.float32) / 255.0
