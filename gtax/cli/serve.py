@@ -27,8 +27,8 @@ from __future__ import annotations
 
 import argparse
 import base64
-import io
 import json
+import os
 import tempfile
 import threading
 
@@ -115,7 +115,7 @@ def make_server(args):
                     actions = np.asarray(actions, np.float32)[None]
                 seed = req.get("seed")
                 if seed is None:
-                    seed = int.from_bytes(__import__("os").urandom(4), "big")
+                    seed = int.from_bytes(os.urandom(4), "big")
             except Exception as e:
                 return self._json(400, {"error": f"bad request: {e}"})
             try:
