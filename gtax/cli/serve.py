@@ -76,6 +76,10 @@ def make_server(args):
     h, w = gen.vae_cfg.input_height, gen.vae_cfg.input_width
 
     class Handler(BaseHTTPRequestHandler):
+        # connection timeout: a client that stalls mid-body must not pin a
+        # handler thread forever (rfile.read blocks on Content-Length)
+        timeout = 120
+
         def log_message(self, fmt, *a):  # route through print, not stderr
             print("[gtax.serve]", fmt % a)
 
@@ -113,19 +117,24 @@ def make_server(args):
                 actions = req.get("actions")
                 if actions is not None:
                     actions = np.asarray(actions, np.float32)[None]
-                seed = req.get("seed")
-                if seed is None:
-                    seed = int.from_bytes(os.urandom(4), "big")
+                    if actions.ndim != 3 or actions.shape[-1] != 25 \
+                            or actions.shape[1] < num_frames:
+                        raise ValueError(
+                            f"actions must be ({num_frames}+, 25), got "
+                            f"{actions.shape[1:]}")
+                seed = int(req["seed"]) if "seed" in req else (
+                    int.from_bytes(os.urandom(4), "big"))
             except Exception as e:
                 return self._json(400, {"error": f"bad request: {e}"})
             try:
                 with lock:
                     pixels = gen.generate(frame[None, None], actions,
                                           num_frames=num_frames,
-                                          seed=int(seed))
+                                          seed=seed)
                 with tempfile.NamedTemporaryFile(suffix=".mp4") as f:
                     write_video(f.name, pixels[0], fps=10)
-                    data = open(f.name, "rb").read()
+                    with open(f.name, "rb") as fh:  # cv2 wrote via the path
+                        data = fh.read()
             except Exception as e:
                 return self._json(500, {"error": f"generation failed: {e}"})
             self.send_response(200)

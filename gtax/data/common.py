@@ -55,6 +55,8 @@ class ClipTransform:
     def __call__(self, strip: np.ndarray) -> np.ndarray:
         h, total_w, c = strip.shape
         assert c == 3, strip.shape
+        assert strip.dtype == np.uint8, (
+            f"ClipTransform takes uint8 strips, got {strip.dtype}")
         w = total_w // self.n_frames
         frames = strip.reshape(h, self.n_frames, w, 3).transpose(1, 0, 2, 3)
         out = np.empty(

@@ -21,7 +21,7 @@ class DummyDataset:
         self.split = split
         self.return_actions = return_actions
         self.size = size  # None: reference sizes (10M train / 10 val)
-        self._rng = np.random.default_rng(seed)
+        self.seed = seed
 
         blue = np.array([0.0, 0.0, 1.0], np.float32)
         red = np.array([1.0, 0.0, 0.0], np.float32)
@@ -46,7 +46,12 @@ class DummyDataset:
     def __getitem__(self, index):
         if not self.return_actions:
             return {"video": self.seq_blue_red}
-        last_action = int(self._rng.integers(0, 2))
+        # index-keyed draw (not a shared stateful Generator): thread-safe
+        # under the loader's decode pool AND reproducible across epoch
+        # replays — the reference draws per ACCESS (dummy_dataset.py:48),
+        # which is neither
+        last_action = int(
+            np.random.default_rng((self.seed, index)).integers(0, 2))
         actions = np.full((5,), -1, np.int64)
         actions[-1] = last_action
         video = self.seq_blue_red if last_action == 0 else self.seq_blue_green

@@ -38,10 +38,11 @@ class LatentCacheDataset:
             self.meta = json.load(f)
         self.latents = np.load(
             os.path.join(cache_dir, "latents.npy"), mmap_mode="r")
-        act_path = os.path.join(cache_dir, "actions.npy")
+        # trust the meta, not file presence — a rebuild without actions
+        # must not serve a previous build's stale actions.npy
         self.actions = (
-            np.load(act_path, mmap_mode="r") if os.path.exists(act_path)
-            else None)
+            np.load(os.path.join(cache_dir, "actions.npy"), mmap_mode="r")
+            if self.meta.get("has_actions") else None)
         self.cache_dir = cache_dir
 
     def __len__(self):
@@ -93,6 +94,10 @@ class LatentCacheDataset:
 
         lat_path = os.path.join(cache_dir, "latents.npy")
         act_path = os.path.join(cache_dir, "actions.npy")
+        for stale in (lat_path, act_path,
+                      os.path.join(cache_dir, "meta.json")):
+            if os.path.exists(stale):  # rebuilds must not mix with old files
+                os.remove(stale)
         lat_out = act_out = None
         done = 0
         while done < n:

@@ -22,15 +22,24 @@ def write_video(path: str, frames: np.ndarray, fps: int = 10) -> None:
         h, w = frames.shape[1:3]
         fourcc = cv2.VideoWriter_fourcc(*"mp4v")
         writer = cv2.VideoWriter(path, fourcc, fps, (w, h))
-        if not writer.isOpened():
-            raise RuntimeError("cv2.VideoWriter failed to open")
-        for frame in frames:
-            writer.write(cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
-        writer.release()
-    except Exception:
-        import imageio
+        try:
+            if not writer.isOpened():
+                raise RuntimeError("cv2.VideoWriter failed to open")
+            for frame in frames:
+                writer.write(cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
+        finally:
+            writer.release()
+    except Exception as cv2_err:
+        try:
+            import imageio
 
-        imageio.mimwrite(path, list(frames), fps=fps)
+            imageio.mimwrite(path, list(frames), fps=fps)
+        except Exception as io_err:
+            # surface BOTH causes — the imageio error alone hides e.g. a
+            # missing output directory that made cv2 fail in the first place
+            raise RuntimeError(
+                f"write_video failed: cv2: {cv2_err!r}; imageio: {io_err!r}"
+            ) from io_err
 
 
 def read_video(path: str) -> np.ndarray:

@@ -73,5 +73,13 @@ def test_generate_validates(server_url):
         _post(server_url, {"num_frames": 4})  # no image
     assert e.value.code == 400
     with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server_url, {"image": _b64_png(), "num_frames": 4,
+                           "actions": [[0.0] * 25] * 2})  # too short
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server_url, {"image": _b64_png(), "num_frames": 4,
+                           "seed": "abc"})
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(server_url + "/nope", timeout=30)
     assert e.value.code == 404
