@@ -66,6 +66,16 @@ def main():
                     jax.tree.leaves(trainer2.dit_params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    # the rank-0 export gate, observable per rank: give each process a
+    # PRIVATE output dir (the shared-dir check in the parent cannot tell
+    # "rank 0 wrote once" from "every rank wrote the same filename")
+    trainer.config.output_dir = os.path.join(tmp, f"export_rank{pid}")
+    trainer.save_model(epoch=0)  # collective: every rank participates
+    got = ([f for f in os.listdir(trainer.config.output_dir)
+            if f.endswith(".safetensors")]
+           if os.path.isdir(trainer.config.output_dir) else [])
+    assert len(got) == (1 if pid == 0 else 0), (pid, got)
+
     print(f"RANK {pid} LOSSES {losses[0]:.10f} {losses[1]:.10f}", flush=True)
 
 

@@ -91,7 +91,7 @@ def test_generate_cli_e2e_debug(tmp_path):
         "--attention_backend", "xla", "--seed", "0",
     ])
     assert out.exists() and out.stat().st_size > 0
-    assert pixels.shape[0] == 6 and sorted(pixels.shape[1:]) == [3, 48, 64]
+    assert pixels.shape == (6, 48, 64, 3), pixels.shape  # (T, H, W, 3)
     assert np.isfinite(pixels).all()
 
 

@@ -133,6 +133,10 @@ def test_webtar_cursor_resume(tmp_path):
     ds2.cursor = cursor
     rest = list(iter(ds2))
     assert len(rest) == 3
+    # and they are the CORRECT remaining samples: shard sample i is a flat
+    # i-valued image (make_shard), so the clip mean identifies it (+-jpeg)
+    ids = [int(round(float(s["video"].mean()) * 255)) for s in rest]
+    assert ids == [2, 3, 4], ids
 
 
 def test_dummy_dataset_causality_probe():
@@ -167,8 +171,7 @@ def test_dataloader_rank_striding_equal_counts():
     rank (DistributedSampler pad-by-wrapping) or the collective train step
     deadlocks; ranks must also cover disjoint strides of ONE permutation."""
     n, world = 15, 4  # n % world != 0 -> padding required
-    ds = DummyDataset("train", return_actions=False, height=12, width=16,
-                      size=n)
+    ds = _IndexedDataset(n)  # samples identify their index
     per_rank = []
     for rank in range(world):
         loader = DataLoader(ds, batch_size=1, num_workers=1, rank=rank,
@@ -184,10 +187,13 @@ def test_dataloader_rank_striding_equal_counts():
     rng = __import__("numpy").random.default_rng(7 + 3)
     order = rng.permutation(n)
     order = __import__("numpy").concatenate([order, order[:1]])
+    seen = []
     for rank in range(world):
-        expect = order[rank::world]
-        got = [s["video"] for s in per_rank[rank]]
-        assert len(got) == len(expect)
+        expect = [float(i) for i in order[rank::world]]
+        got = [float(s["video"][0]) for s in per_rank[rank]]
+        assert got == expect  # exact stride of the shared permutation
+        seen += got
+    assert sorted(set(seen)) == list(range(n))  # disjoint full coverage
 
 
 class _IndexedDataset:

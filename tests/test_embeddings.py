@@ -46,6 +46,12 @@ def test_positions_2d_split_half():
     np.testing.assert_allclose(
         np.asarray(out[0, :, 8:]), np.asarray(out[2, :, 8:]), atol=1e-6
     )
+    # and each half genuinely VARIES along its own axis (a constant
+    # embedding satisfies the invariance checks above trivially)
+    assert not np.allclose(np.asarray(out[0, 0, :8]),
+                           np.asarray(out[2, 0, :8]))
+    assert not np.allclose(np.asarray(out[0, 0, 8:]),
+                           np.asarray(out[0, 3, 8:]))
 
 
 def test_fallback_pos_emb_shapes():

@@ -44,10 +44,14 @@ def test_deeper_pipeline_mechanics(dit_small_params, depth):
     assert bool(jnp.all(jnp.isfinite(out)))
     # prompt frames pass through untouched
     np.testing.assert_array_equal(np.asarray(out[:, :4]), np.asarray(prompt))
-    # generated frames have sane magnitude (were actually denoised, not
-    # left as clipped unit noise)
+    # generated frames actually went through the model: the output must
+    # depend on the params (raw clipped noise would not)
     gen = np.asarray(out[:, 4:])
-    assert gen.std() > 0
+    out2 = sd.make_pipelined_rollout(dit_fn_p, 5, cfg, pipeline_depth=depth)(
+        jax.tree.map(lambda p: p * 1.5, dit_small_params), prompt, actions,
+        jax.random.PRNGKey(0), num_gen_frames=8,
+    )
+    assert not np.allclose(gen, np.asarray(out2[:, 4:]))
 
 
 @pytest.mark.slow

@@ -63,3 +63,7 @@ def test_rope_is_relative():
     s2 = jnp.einsum("bqd,bkd->bqk", rope.apply_rotary_emb(f2, q),
                     rope.apply_rotary_emb(f2, k), precision=hi)
     assert_close(s0, s2, atol=1e-4)
+    # guard against the trivial pass: a no-op rotary is also
+    # "shift-invariant" — rotated scores must differ from unrotated ones
+    s_plain = jnp.einsum("bqd,bkd->bqk", q, k, precision=hi)
+    assert not np.allclose(np.asarray(s0), np.asarray(s_plain))

@@ -173,6 +173,7 @@ def test_tensor_parallel_mesh(tmp_path):
     # verify some kernels actually sharded over 'model'
     specs = jax.tree.map(lambda s: s.spec, trainer.param_sharding)
     flat = jax.tree.leaves(specs, is_leaf=lambda x: hasattr(x, "index"))
+    assert any("model" in (spec or ()) for spec in flat), flat
     b = dummy_batches(1, 4)[0]
     from gtax.data.loader import Batch
 
