@@ -51,6 +51,10 @@ def build_parser():
                         "stream; weights/compile amortised — throughput "
                         "mode, docs/PERF.md). N>1 writes "
                         "<output_path stem>_i.<ext> per stream")
+    p.add_argument("--batch_distinct", action="store_true",
+                   help="with --batch N and the test-set prompt path: use N "
+                        "DIFFERENT test-set prompts (request-queue batching) "
+                        "instead of replicating one")
     p.add_argument("--start_frame", type=str, default=None)
     p.add_argument("--dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "float32"])
@@ -119,6 +123,9 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    assert not (args.batch_distinct and args.start_frame), (
+        "--batch_distinct draws prompts from the test set; it cannot be "
+        "combined with a single --start_frame")
     from gtax.serving import ServingConfig, VideoGenerator
 
     cfg = ServingConfig(
@@ -159,20 +166,30 @@ def main(argv=None):
         from gtax.data.loader import make_dataset
 
         test_ds = make_dataset("webdataset", "test", args.use_actions)
-        sample = next(iter(test_ds))
-        video = np.asarray(sample["video"], np.float32)[None, :n_prompt]
+        it = iter(test_ds)
+        # --batch_distinct: one DIFFERENT test-set prompt per stream
+        # (request-queue batching); default replicates one prompt
+        n_prompts = args.batch if args.batch_distinct else 1
+        vids, acts_list = [], []
+        for _ in range(n_prompts):
+            sample = next(it)
+            vids.append(np.asarray(sample["video"], np.float32)[:n_prompt])
+            if args.use_actions:
+                acts_list.append(np.asarray(sample["actions"], np.float32))
+        video = np.stack(vids)
         if args.use_actions:
-            acts = np.asarray(sample["actions"], np.float32)[None]
+            acts = np.stack(acts_list)
             if acts.shape[1] < total_frames:
                 acts = np.concatenate(
-                    [acts, forward_actions(1, total_frames - acts.shape[1])],
+                    [acts, forward_actions(n_prompts,
+                                           total_frames - acts.shape[1])],
                     axis=1,
                 )
             actions = jnp.asarray(acts)
         else:
             actions = None
 
-    if args.batch > 1:
+    if args.batch > 1 and video.shape[0] == 1:
         # batched serving: replicate the prompt across streams; each stream
         # draws independent rollout noise via the batch dimension
         video = np.tile(np.asarray(video), (args.batch, 1, 1, 1, 1))

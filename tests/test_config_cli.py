@@ -160,3 +160,12 @@ def test_export_cli_roundtrip(tmp_path):
     assert set(exported) == set(torch_sd)
     for k in torch_sd:
         np.testing.assert_array_equal(exported[k], np.asarray(torch_sd[k]))
+
+
+def test_batch_distinct_flag():
+    from gtax.cli.generate import build_parser, main
+
+    args = build_parser().parse_args(["--batch", "4", "--batch_distinct"])
+    assert args.batch_distinct and args.batch == 4
+    with pytest.raises(AssertionError, match="batch_distinct"):
+        main(["--batch", "2", "--batch_distinct", "--start_frame", "x.png"])
