@@ -55,16 +55,41 @@ def rotate_half_matrix(d: int) -> np.ndarray:
     return R
 
 
-def _rows_from_frames(v, seq_len):
+def _rows_from_frames(v, seq_len, n_rows=None):
     """(F, D) per-frame vectors -> (F*S, D) token rows as a free frame-major
     view + second-minor broadcast (token rows are frame-contiguous and S is a
     sublane multiple). Keeping adaLN vectors and rope tables per-FRAME until
     this point saves the callers' jnp.repeat materialisations: at incremental
     serving shapes the repeated rows were ~40% of the non-weight kernel DMA,
-    and at training shapes XLA wrote them through HBM."""
+    and at training shapes XLA wrote them through HBM.
+
+    n_rows: the tile's real token-row count. When the wrapper padded the
+    per-frame block to a sublane multiple (_pad_frame_rows), v carries
+    trailing zero frames; only the first n_rows // seq_len are real."""
     F, D = v.shape
+    if n_rows is not None:
+        F = n_rows // seq_len
+        v = v[:F]
     return jnp.broadcast_to(v[:, None, :], (F, seq_len, D)).reshape(
         F * seq_len, D)
+
+
+def _pad_frame_rows(arrs, per_tile, n_tiles):
+    """Pad per-frame (n_tiles * per_tile, W) vectors so each grid tile's
+    frame block has a sublane count Mosaic can lower: block sublanes must be
+    a multiple of 8 unless the block spans the whole array (single tile).
+    Interpret mode accepts any block, so this only matters on real TPUs.
+    Kernels recover the real rows via _rows_from_frames(n_rows=...).
+    Returns (padded arrays list, padded per-tile frame count)."""
+    if n_tiles == 1 or per_tile % 8 == 0:
+        return list(arrs), per_tile
+    pad_to = -(-per_tile // 8) * 8
+    out = []
+    for a in arrs:
+        a3 = a.reshape(n_tiles, per_tile, a.shape[-1])
+        a3 = jnp.pad(a3, ((0, 0), (0, pad_to - per_tile), (0, 0)))
+        out.append(a3.reshape(n_tiles * pad_to, a.shape[-1]))
+    return out, pad_to
 
 
 def _ln_modulate32(x_ref, shift_ref, scale_ref, ln_eps, mod_eps, seq_len):
@@ -73,11 +98,14 @@ def _ln_modulate32(x_ref, shift_ref, scale_ref, ln_eps, mod_eps, seq_len):
     the bf16 and int8 kernel bodies so the fp32 normalization math can never
     drift between them. Returns (x32, mod32)."""
     x32 = x_ref[:].astype(jnp.float32)
+    n_rows = x32.shape[0]
     mean = jnp.mean(x32, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
     ln = (x32 - mean) * jax.lax.rsqrt(var + ln_eps)
-    scale = _rows_from_frames(scale_ref[:].astype(jnp.float32), seq_len)
-    shift = _rows_from_frames(shift_ref[:].astype(jnp.float32), seq_len)
+    scale = _rows_from_frames(scale_ref[:].astype(jnp.float32), seq_len,
+                              n_rows)
+    shift = _rows_from_frames(shift_ref[:].astype(jnp.float32), seq_len,
+                              n_rows)
     return x32, ln * (1.0 + scale + mod_eps) + shift
 
 
@@ -165,7 +193,8 @@ def _kernel(x_ref, shift_ref, scale_ref, gate_ref, qkvw_ref, outw_ref,
     y = y + outb_ref[0].astype(jnp.float32)
 
     # gated residual
-    g = _rows_from_frames(gate_ref[:].astype(jnp.float32), seq_len)
+    g = _rows_from_frames(gate_ref[:].astype(jnp.float32), seq_len,
+                          x32.shape[0])
     o_ref[:] = (x32 + g * y).astype(o_ref.dtype)
 
 
@@ -195,15 +224,17 @@ def _temporal_kernel(x_ref, shift_ref, scale_ref, gate_ref, qkvw_ref,
     q, k, v = qkv[:, :D], qkv[:, D:2 * D], qkv[:, 2 * D:]
 
     attn_out = _temporal_attention_core(
-        q, k, v, _rows_from_frames(cos_ref[:], seq_len),
-        _rows_from_frames(sin_ref[:], seq_len), rot_ref[:], seg_ref[:],
+        q, k, v, _rows_from_frames(cos_ref[:], seq_len, x32.shape[0]),
+        _rows_from_frames(sin_ref[:], seq_len, x32.shape[0]),
+        rot_ref[:], seg_ref[:],
         bias_ref, x.dtype, num_heads, n_frames, n_batches, seq_len,
         kv_out=None if k_ref is None else (k_ref, v_ref),
     ).astype(x.dtype)
 
     y = jnp.dot(attn_out, outw_ref[:], preferred_element_type=jnp.float32)
     y = y + outb_ref[0].astype(jnp.float32)
-    g = _rows_from_frames(gate_ref[:].astype(jnp.float32), seq_len)
+    g = _rows_from_frames(gate_ref[:].astype(jnp.float32), seq_len,
+                          x32.shape[0])
     o_ref[:] = (x32 + g * y).astype(o_ref.dtype)
 
 
@@ -345,14 +376,15 @@ def _temporal_step_kernel(x_ref, shift_ref, scale_ref, gate_ref, qkvw_ref,
     q, k, v = qkv[:, :D], qkv[:, D:2 * D], qkv[:, 2 * D:]
     attn_out = _temporal_step_core(
         q, k, v, kctx_ref[:], vctx_ref[:],
-        _rows_from_frames(cos_ref[:], seq_len),
-        _rows_from_frames(sin_ref[:], seq_len),
+        _rows_from_frames(cos_ref[:], seq_len, x32.shape[0]),
+        _rows_from_frames(sin_ref[:], seq_len, x32.shape[0]),
         rot_ref[:], seg_ref[:], bias_ref, x.dtype, num_heads, n_ctx,
         n_batches, seq_len,
     ).astype(x.dtype)
     y = jnp.dot(attn_out, outw_ref[:], preferred_element_type=jnp.float32)
     y = y + outb_ref[0].astype(jnp.float32)
-    g = _rows_from_frames(gate_ref[:].astype(jnp.float32), seq_len)
+    g = _rows_from_frames(gate_ref[:].astype(jnp.float32), seq_len,
+                          x32.shape[0])
     o_ref[:] = (x32 + g * y).astype(o_ref.dtype)
 
 
@@ -453,8 +485,11 @@ def fused_temporal_branch(x, shift, scale, gate, qkv_w, out_w, out_b,
     tile_rows = b_pt * T * S
     row_spec = pl.BlockSpec((tile_rows, D), lambda c: (c, 0),
                             memory_space=pltpu.VMEM)
-    # per-frame vectors: b_pt * T rows per tile (adaLN + rope tables)
-    frame_spec = pl.BlockSpec((b_pt * T, D), lambda c: (c, 0),
+    # per-frame vectors: b_pt * T rows per tile (adaLN + rope tables),
+    # padded to a Mosaic-lowerable sublane block when the grid has >1 tile
+    (shift, scale, gate, cos, sin), fpt_pad = _pad_frame_rows(
+        (shift, scale, gate, cos, sin), b_pt * T, n_tiles)
+    frame_spec = pl.BlockSpec((fpt_pad, D), lambda c: (c, 0),
                               memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     one = jax.ShapeDtypeStruct(xf.shape, x.dtype)
@@ -504,7 +539,8 @@ def _mlp_kernel(x_ref, shift_ref, scale_ref, gate_ref, w1_ref, b1_ref,
     y = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
     y = y + b2_ref[0].astype(jnp.float32)
 
-    g = _rows_from_frames(gate_ref[:].astype(jnp.float32), seq_len)
+    g = _rows_from_frames(gate_ref[:].astype(jnp.float32), seq_len,
+                          x32.shape[0])
     o_ref[:] = (x32 + g * y).astype(o_ref.dtype)
 
 
@@ -524,7 +560,9 @@ def fused_mlp_branch(x, shift, scale, gate, w1, b1, w2, b2,
     tile_rows = fpt * S
     row_spec = pl.BlockSpec((tile_rows, D), lambda c: (c, 0),
                             memory_space=pltpu.VMEM)
-    frame_spec = pl.BlockSpec((fpt, D), lambda c: (c, 0),
+    (shift, scale, gate), fpt_pad = _pad_frame_rows(
+        (shift, scale, gate), fpt, n_tiles)
+    frame_spec = pl.BlockSpec((fpt_pad, D), lambda c: (c, 0),
                               memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     out = pl.pallas_call(
@@ -634,7 +672,9 @@ def fused_spatial_branch(x, shift, scale, gate, qkv_w, out_w, out_b,
     xf = x.reshape(N * S, D)
     row_spec = pl.BlockSpec((tile_rows, D), lambda c: (c, 0),
                             memory_space=pltpu.VMEM)
-    frame_spec = pl.BlockSpec((fpt, D), lambda c: (c, 0),
+    (shift, scale, gate), fpt_pad = _pad_frame_rows(
+        (shift, scale, gate), fpt, n_tiles)
+    frame_spec = pl.BlockSpec((fpt_pad, D), lambda c: (c, 0),
                               memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     rot = rope_freqs.shape[-1]
@@ -693,7 +733,9 @@ def fused_spatial_branch_stacked(x, shift, scale, gate, qkv_w, out_w, out_b,
         return pl.BlockSpec((tile_rows, w), lambda c, i: (c, 0),
                             memory_space=pltpu.VMEM)
 
-    frame_spec = pl.BlockSpec((fpt, D), lambda c, i: (c, 0),
+    (shift, scale, gate), fpt_pad = _pad_frame_rows(
+        (shift, scale, gate), fpt, n_tiles)
+    frame_spec = pl.BlockSpec((fpt_pad, D), lambda c, i: (c, 0),
                               memory_space=pltpu.VMEM)
     gs = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -743,7 +785,9 @@ def fused_temporal_branch_stacked(x, shift, scale, gate, qkv_w, out_w, out_b,
         return pl.BlockSpec((tile_rows, w), lambda c, i: (c, 0),
                             memory_space=pltpu.VMEM)
 
-    frame_spec = pl.BlockSpec((b_pt * T, D), lambda c, i: (c, 0),
+    (shift, scale, gate, cos, sin), fpt_pad = _pad_frame_rows(
+        (shift, scale, gate, cos, sin), b_pt * T, n_tiles)
+    frame_spec = pl.BlockSpec((fpt_pad, D), lambda c, i: (c, 0),
                               memory_space=pltpu.VMEM)
     gs = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -788,7 +832,9 @@ def fused_mlp_branch_stacked(x, shift, scale, gate, w1, b1, w2, b2,
         return pl.BlockSpec((tile_rows, w), lambda c, i: (c, 0),
                             memory_space=pltpu.VMEM)
 
-    frame_spec = pl.BlockSpec((fpt, D), lambda c, i: (c, 0),
+    (shift, scale, gate), fpt_pad = _pad_frame_rows(
+        (shift, scale, gate), fpt, n_tiles)
+    frame_spec = pl.BlockSpec((fpt_pad, D), lambda c, i: (c, 0),
                               memory_space=pltpu.VMEM)
     gs = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

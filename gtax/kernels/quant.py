@@ -39,6 +39,7 @@ from gtax.kernels.block import (
     _BRANCH_PARAMS,
     _frames_per_tile,
     _ln_modulate32,
+    _pad_frame_rows,
     _rows_from_frames,
     _spatial_attention_core,
     _temporal_attention_core,
@@ -100,7 +101,8 @@ def _spatial_kernel_q(x_ref, shift_ref, scale_ref, gate_ref, qkvq_ref,
     y = _qdot(attn_out, outq_ref, outs_ref)
     y = y + outb_ref[0].astype(jnp.float32)
 
-    g = _rows_from_frames(gate_ref[:].astype(jnp.float32), seq_len)
+    g = _rows_from_frames(gate_ref[:].astype(jnp.float32), seq_len,
+                          x32.shape[0])
     o_ref[:] = (x32 + g * y).astype(o_ref.dtype)
 
 
@@ -121,15 +123,17 @@ def _temporal_kernel_q(x_ref, shift_ref, scale_ref, gate_ref, qkvq_ref,
     q, k, v = qkv[:, :D], qkv[:, D:2 * D], qkv[:, 2 * D:]
 
     attn_out = _temporal_attention_core(
-        q, k, v, _rows_from_frames(cos_ref[:], seq_len),
-        _rows_from_frames(sin_ref[:], seq_len), rot_ref[:], seg_ref[:],
+        q, k, v, _rows_from_frames(cos_ref[:], seq_len, x32.shape[0]),
+        _rows_from_frames(sin_ref[:], seq_len, x32.shape[0]),
+        rot_ref[:], seg_ref[:],
         bias_ref, x.dtype, num_heads, n_frames, n_batches, seq_len,
         kv_out=None if k_ref is None else (k_ref, v_ref),
     )
 
     y = _qdot(attn_out, outq_ref, outs_ref)
     y = y + outb_ref[0].astype(jnp.float32)
-    g = _rows_from_frames(gate_ref[:].astype(jnp.float32), seq_len)
+    g = _rows_from_frames(gate_ref[:].astype(jnp.float32), seq_len,
+                          x32.shape[0])
     o_ref[:] = (x32 + g * y).astype(o_ref.dtype)
 
 
@@ -148,14 +152,15 @@ def _temporal_step_kernel_q(x_ref, shift_ref, scale_ref, gate_ref, qkvq_ref,
     q, k, v = qkv[:, :D], qkv[:, D:2 * D], qkv[:, 2 * D:]
     attn_out = _temporal_step_core(
         q, k, v, kctx_ref[:], vctx_ref[:],
-        _rows_from_frames(cos_ref[:], seq_len),
-        _rows_from_frames(sin_ref[:], seq_len),
+        _rows_from_frames(cos_ref[:], seq_len, x32.shape[0]),
+        _rows_from_frames(sin_ref[:], seq_len, x32.shape[0]),
         rot_ref[:], seg_ref[:], bias_ref, x.dtype, num_heads, n_ctx,
         n_batches, seq_len,
     )
     y = _qdot(attn_out, outq_ref, outs_ref)
     y = y + outb_ref[0].astype(jnp.float32)
-    g = _rows_from_frames(gate_ref[:].astype(jnp.float32), seq_len)
+    g = _rows_from_frames(gate_ref[:].astype(jnp.float32), seq_len,
+                          x32.shape[0])
     o_ref[:] = (x32 + g * y).astype(o_ref.dtype)
 
 
@@ -208,7 +213,8 @@ def _mlp_kernel_q(x_ref, shift_ref, scale_ref, gate_ref, w1q_ref, w1s_ref,
     h = jax.nn.gelu(h, approximate=approx_gelu)
     y = _qdot(h, w2q_ref, w2s_ref) + b2_ref[0].astype(jnp.float32)
 
-    g = _rows_from_frames(gate_ref[:].astype(jnp.float32), seq_len)
+    g = _rows_from_frames(gate_ref[:].astype(jnp.float32), seq_len,
+                          x32.shape[0])
     o_ref[:] = (x32 + g * y).astype(o_ref.dtype)
 
 
@@ -229,7 +235,9 @@ def fused_spatial_branch_q(x, shift, scale, gate, qkv_q, qkv_s, out_q, out_s,
     xf = x.reshape(N * S, D)
     row_spec = pl.BlockSpec((tile_rows, D), lambda c: (c, 0),
                             memory_space=pltpu.VMEM)
-    frame_spec = pl.BlockSpec((fpt, D), lambda c: (c, 0),
+    (shift, scale, gate), fpt_pad = _pad_frame_rows(
+        (shift, scale, gate), fpt, n_tiles)
+    frame_spec = pl.BlockSpec((fpt_pad, D), lambda c: (c, 0),
                               memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     rot = rope_freqs.shape[-1]
@@ -279,7 +287,9 @@ def fused_temporal_branch_q(x, shift, scale, gate, qkv_q, qkv_s, out_q,
     tile_rows = b_pt * T * S
     row_spec = pl.BlockSpec((tile_rows, D), lambda c: (c, 0),
                             memory_space=pltpu.VMEM)
-    frame_spec = pl.BlockSpec((b_pt * T, D), lambda c: (c, 0),
+    (shift, scale, gate, cos, sin), fpt_pad = _pad_frame_rows(
+        (shift, scale, gate, cos, sin), b_pt * T, n_tiles)
+    frame_spec = pl.BlockSpec((fpt_pad, D), lambda c: (c, 0),
                               memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     one = jax.ShapeDtypeStruct(xf.shape, x.dtype)
@@ -322,7 +332,9 @@ def fused_mlp_branch_q(x, shift, scale, gate, w1_q, w1_s, b1, w2_q, w2_s,
     tile_rows = fpt * S
     row_spec = pl.BlockSpec((tile_rows, D), lambda c: (c, 0),
                             memory_space=pltpu.VMEM)
-    frame_spec = pl.BlockSpec((fpt, D), lambda c: (c, 0),
+    (shift, scale, gate), fpt_pad = _pad_frame_rows(
+        (shift, scale, gate), fpt, n_tiles)
+    frame_spec = pl.BlockSpec((fpt_pad, D), lambda c: (c, 0),
                               memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     out = pl.pallas_call(
