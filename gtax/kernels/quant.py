@@ -201,21 +201,57 @@ def fused_temporal_step_q(x, shift, scale, gate, qkv_q, qkv_s, out_q, out_s,
 
 
 def _mlp_kernel_q(x_ref, shift_ref, scale_ref, gate_ref, w1q_ref, w1s_ref,
-                  b1_ref, w2q_ref, w2s_ref, b2_ref, o_ref, *, seq_len,
-                  ln_eps, mod_eps, approx_gelu):
+                  b1_ref, w2q_ref, w2s_ref, b2_ref, o_ref, qmod_ref, qs_ref,
+                  acc_ref, *, seq_len, ln_eps, mod_eps, approx_gelu,
+                  n_chunks):
     """W8A8 twin of gtax.kernels.block._mlp_kernel (shared LN/modulate):
     both MLP GEMMs int8; the hidden activation re-quantizes per row after
-    the fp32 GELU."""
-    x32, mod = _ln_modulate32(x_ref, shift_ref, scale_ref, ln_eps, mod_eps,
-                              seq_len)
+    the fp32 GELU.
 
-    h = _qdot(mod, w1q_ref, w1s_ref) + b1_ref[0].astype(jnp.float32)
+    The hidden dim H is chunked over the LAST grid axis so the Pallas
+    pipeline double-buffers the next chunk's w1/w2 slabs during the current
+    chunk's compute: a gridless call serialises its whole weight DMA before
+    the body, which measured 2x the int8-DMA floor at B=1 serving shapes
+    (docs/PERF.md round 2). LN/modulate/quantize run ONCE (chunk 0) into
+    VMEM scratch — round 1's chunked-MLP mistake was recomputing them per
+    chunk — and fc2 partials accumulate fp32 in scratch. n_chunks=1
+    degenerates to the unchunked single-pass kernel (training row-tiles,
+    interpret tests, H too small to split)."""
+    c = pl.program_id(1)  # grid = (row tiles, H chunks); chunks iterate fast
+
+    @pl.when(c == 0)
+    def _():
+        x32, mod = _ln_modulate32(x_ref, shift_ref, scale_ref, ln_eps,
+                                  mod_eps, seq_len)
+        q, s = _quant_rows(mod)
+        qmod_ref[:] = q
+        qs_ref[:] = s
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # per-chunk fc1 -> gelu -> re-quantize -> fc2 partial (int8 MXU, fp32
+    # rescale; per-chunk hidden row scales are at least as fine as the
+    # whole-row scale the unchunked kernel used)
+    acc1 = jax.lax.dot_general(
+        qmod_ref[:], w1q_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    h = (acc1.astype(jnp.float32) * qs_ref[:] * w1s_ref[:]
+         + b1_ref[0].astype(jnp.float32))
     h = jax.nn.gelu(h, approximate=approx_gelu)
-    y = _qdot(h, w2q_ref, w2s_ref) + b2_ref[0].astype(jnp.float32)
+    hq, hs = _quant_rows(h)
+    part = jax.lax.dot_general(
+        hq, w2q_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    acc_ref[:] += part.astype(jnp.float32) * hs
 
-    g = _rows_from_frames(gate_ref[:].astype(jnp.float32), seq_len,
-                          x32.shape[0])
-    o_ref[:] = (x32 + g * y).astype(o_ref.dtype)
+    @pl.when(c == n_chunks - 1)
+    def _():
+        x32 = x_ref[:].astype(jnp.float32)
+        y = acc_ref[:] * w2s_ref[:] + b2_ref[0].astype(jnp.float32)
+        g = _rows_from_frames(gate_ref[:].astype(jnp.float32), seq_len,
+                              x32.shape[0])
+        o_ref[:] = (x32 + g * y).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads",))
@@ -318,10 +354,21 @@ def fused_temporal_branch_q(x, shift, scale, gate, qkv_q, qkv_s, out_q,
     return out.reshape(N, S, D)
 
 
+def _mlp_chunks(h: int) -> int:
+    """Largest H split in {8, 4, 2, 1} whose chunk width stays a lane-tile
+    multiple (128): measured on v5e, 8 chunks of the flagship H=4096 run the
+    kernel at ~15.5 us/call vs 20.6 unchunked (int8-DMA floor ~10.4)."""
+    for nc in (8, 4, 2):
+        if h % nc == 0 and (h // nc) % 128 == 0:
+            return nc
+    return 1
+
+
 @functools.partial(jax.jit, static_argnames=("approx_gelu",))
 def fused_mlp_branch_q(x, shift, scale, gate, w1_q, w1_s, b1, w2_q, w2_s,
                        b2, approx_gelu=True):
-    """int8 twin of gtax.kernels.block.fused_mlp_branch."""
+    """int8 twin of gtax.kernels.block.fused_mlp_branch. Weights stream in
+    H-chunks over the grid (see _mlp_kernel_q)."""
     N, S, D = x.shape
     H = w1_q.shape[1]
     xf = x.reshape(N * S, D)
@@ -330,25 +377,49 @@ def fused_mlp_branch_q(x, shift, scale, gate, w1_q, w1_s, b1, w2_q, w2_s,
     fpt = _frames_per_tile(N, S)
     n_tiles = N // fpt
     tile_rows = fpt * S
-    row_spec = pl.BlockSpec((tile_rows, D), lambda c: (c, 0),
+    nc = _mlp_chunks(H)
+    hc = H // nc
+    row_spec = pl.BlockSpec((tile_rows, D), lambda t, c: (t, 0),
                             memory_space=pltpu.VMEM)
     (shift, scale, gate), fpt_pad = _pad_frame_rows(
         (shift, scale, gate), fpt, n_tiles)
-    frame_spec = pl.BlockSpec((fpt_pad, D), lambda c: (c, 0),
+    frame_spec = pl.BlockSpec((fpt_pad, D), lambda t, c: (t, 0),
                               memory_space=pltpu.VMEM)
-    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    def hchunk(rows, cols):  # rows x (H chunk) slabs, chunk-indexed
+        return pl.BlockSpec((rows, cols), lambda t, c: (0, c),
+                            memory_space=pltpu.VMEM)
+
     out = pl.pallas_call(
         functools.partial(
             _mlp_kernel_q, seq_len=S, ln_eps=1e-6, mod_eps=1e-6,
-            approx_gelu=approx_gelu,
+            approx_gelu=approx_gelu, n_chunks=nc,
         ),
         out_shape=jax.ShapeDtypeStruct(xf.shape, x.dtype),
-        grid=(n_tiles,),
-        in_specs=[row_spec, frame_spec, frame_spec, frame_spec,
-                  full, full, full, full, full, full],
+        grid=(n_tiles, nc),
+        in_specs=[
+            row_spec, frame_spec, frame_spec, frame_spec,
+            hchunk(D, hc),                            # w1_q
+            hchunk(1, hc),                            # w1_s
+            hchunk(1, hc),                            # b1
+            pl.BlockSpec((hc, D), lambda t, c: (c, 0),
+                         memory_space=pltpu.VMEM),    # w2_q
+            pl.BlockSpec((1, D), lambda t, c: (0, 0),
+                         memory_space=pltpu.VMEM),    # w2_s
+            pl.BlockSpec((1, D), lambda t, c: (0, 0),
+                         memory_space=pltpu.VMEM),    # b2
+        ],
         out_specs=row_spec,
+        scratch_shapes=[
+            pltpu.VMEM((tile_rows, D), jnp.int8),     # quantized LN/modulate
+            pltpu.VMEM((tile_rows, 1), jnp.float32),  # its per-row scales
+            pltpu.VMEM((tile_rows, D), jnp.float32),  # fc2 fp32 accumulator
+        ],
         interpret=interpret_mode(),
-        compiler_params=_BRANCH_PARAMS,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
     )(xf, shift, scale, gate, w1_q, w1_s.reshape(1, -1), b1, w2_q,
       w2_s.reshape(1, -1), b2)
     return out.reshape(N, S, D)
