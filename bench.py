@@ -89,11 +89,15 @@ def main():
         gen.generate(video, actions, num_frames=frames, seed=2)
         # rollout + the one batched VAE decode — the reference generate.py
         # workload; the prompt encode is excluded (input prep, not serving)
+        # and so is fetch_s (the device->host pixel download: ~2 ms over a
+        # TPU-VM PCIe link, but minutes-scale noise through this dev env's
+        # remote-device tunnel at ~10 MB/s — it is reported alongside)
         t = gen.last_timings
         return t["rollout_s"] + t["decode_s"]
 
     run()  # warmup/compile
     best = min(run() for _ in range(repeats))
+    fetch_s = gen.last_timings["fetch_s"]
     fps = batch * num_gen / best
 
     pipe_tag = f", pipeline_depth={pipeline}" if pipeline > 1 else ""
@@ -135,6 +139,7 @@ def main():
         "vs_baseline": vs_baseline,
         "baseline_fps": baseline_fps,
         "baseline_note": "torch A100 eager estimate (high end), BASELINE.md",
+        "host_fetch_s": round(fetch_s, 3),
     }
     default_workload = (
         pipeline == 1 and broadcast == 1 and batch == 1 and quant == "int8"

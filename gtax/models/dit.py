@@ -69,6 +69,14 @@ class DiTConfig:
     # chip. Rematting the WHOLE forward instead does NOT help: the scan's
     # backward still stashes all 16 blocks' residuals at once.
     block_remat: bool = False
+    # remat policy when block_remat is on: "full" recomputes the whole block
+    # in backward (min memory, +1x forward FLOPs); "dots" saves every matmul
+    # output (checkpoint_dots); "dots_nb" saves only non-batched GEMM outputs
+    # (checkpoint_dots_with_no_batch_dims: qkv/out/fc1/fc2 projections) and
+    # recomputes the attention score/PV dots + elementwise work — the
+    # standard transformer remat recipe: near-3x-FLOP steps with the big f32
+    # score tensors excluded from the residual set. MFU lever: docs/PERF.md.
+    remat_policy: str = "full"
     # EXPERIMENTAL inference-only path for the fused_all backend: run the
     # whole block stack as one weight-streaming Pallas pipeline
     # (gtax/kernels/stack.py; B*T <= 8) or, for larger batches, per-branch
@@ -634,8 +642,14 @@ def dit_apply(
     else:
         block = _block_apply
         if cfg.block_remat:
+            policy = {
+                "dots": jax.checkpoint_policies.checkpoint_dots,
+                "dots_nb":
+                    jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims,
+            }.get(cfg.remat_policy)
             # num_heads (5) and dtype (7) are static python values
-            block = jax.checkpoint(_block_apply, static_argnums=(5, 7))
+            block = jax.checkpoint(_block_apply, static_argnums=(5, 7),
+                                   policy=policy)
 
         def body(carry, bp):
             return (

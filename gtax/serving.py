@@ -176,16 +176,19 @@ class VideoGenerator:
                 lambda k: vae_init(k, vae_cfg))(jax.random.PRNGKey(1))
         return cls(dit_params, vae_params, cfg)
 
-    def _decode_frames(self, lat) -> np.ndarray:
+    def _decode_frames(self, lat):
         """VAE-decode latents to uint8 pixels, optionally in frame chunks.
 
         The VAE is per-frame, so chunking is bit-identical; it bounds the
         decoder's activation footprint (~chunk x 576 x 1024 rows) for
-        multi-hundred-frame rollouts."""
+        multi-hundred-frame rollouts. The unchunked path returns the DEVICE
+        array so generate() can time device decode and host fetch separately;
+        the chunked path fetches each part eagerly (that is its memory bound)
+        and returns host pixels."""
         chunk = self.cfg.decode_chunk
         T = lat.shape[1]
         if chunk is None or chunk >= T:
-            return np.asarray(self._decode(self.vae_params, lat))
+            return self._decode(self.vae_params, lat)
         # equal-size chunks reuse ONE compiled decode; the ragged tail (if
         # any) compiles once more
         parts = [
@@ -270,8 +273,16 @@ class VideoGenerator:
                                 key=lambda s: s.index[0].start or 0)
                 lat = np.concatenate(
                     [np.asarray(s.data) for s in shards], axis=0)
-            pixels = self._decode_frames(lat)
+            pix = self._decode_frames(lat)
+            if not isinstance(pix, np.ndarray):
+                # sync on a 1-element fetch, not block_until_ready: the
+                # tunnelled runtime's block_until_ready can return before the
+                # work drains (scripts/fwd_bench.py), and the full-pixel
+                # fetch is pure host IO that must not be billed to decode
+                jax.device_get(pix[(0,) * pix.ndim])
             t3 = time.perf_counter()
+            pixels = np.asarray(pix)
+            t4 = time.perf_counter()
         self.last_timings = {"encode_s": t1 - t0, "rollout_s": t2 - t1,
-                             "decode_s": t3 - t2}
+                             "decode_s": t3 - t2, "fetch_s": t4 - t3}
         return pixels

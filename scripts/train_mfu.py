@@ -44,12 +44,26 @@ def main():
     p.add_argument("--steps", type=int, default=8)
     p.add_argument("--warmup", type=int, default=2)
     p.add_argument("--remat", action="store_true")
+    p.add_argument("--remat-policy", default="full",
+                   choices=["full", "dots", "dots_nb"],
+                   help="with --remat: 'dots' saves matmul outputs "
+                        "(checkpoint_dots) so backward recomputes only "
+                        "elementwise work — ~3x-FLOP steps, bounded memory")
+    p.add_argument("--unstack", action="store_true",
+                   help="per-block weight pytrees + Python block loop instead "
+                        "of lax.scan over stacked weights (the serving-layout "
+                        "experiment, applied to the TRAIN step: no weight "
+                        "slicing or residual dynamic-update-slice in the HLO)")
+    p.add_argument("--scan-unroll", type=int, default=1)
     p.add_argument("--mu-bf16", action="store_true",
                    help="store Adam's first moment in bfloat16")
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--backend", default="xla",
                    help="attention backend; 'fused'/'fused_all' use the "
                         "trainable Pallas kernels (custom_vjp)")
+    p.add_argument("--fwd-only", action="store_true",
+                   help="time the loss forward alone (no grad/optimizer) — "
+                        "diagnostic for attributing step time to fwd vs bwd")
     p.add_argument("--profile", default=None)
     args = p.parse_args()
 
@@ -64,13 +78,21 @@ def main():
     from gtax.train.optim import make_optimizer
     from gtax.utils.profiling import MFUCounter, dit_forward_flops, trace
 
+    from gtax.models.dit import unstack_for_inference
+
     attention_mod.set_backend(args.backend)
     cfg = DiTConfig(hidden_size=args.hidden, depth=args.depth,
-                    num_heads=args.heads, block_remat=args.remat)
+                    num_heads=args.heads, block_remat=args.remat,
+                    remat_policy=args.remat_policy,
+                    scan_unroll=args.scan_unroll)
     dtype = jnp.dtype(args.dtype)
     B, T = args.batch, cfg.max_frames
 
     params = jax.jit(lambda k: dit_init(k, cfg))(jax.random.PRNGKey(0))
+    if args.unstack:
+        # per-block pytrees: dit_apply takes its Python-loop path; grads and
+        # optax updates flow through the tuple-of-dicts layout unchanged
+        params = unstack_for_inference(params, cfg)
     n_params = sum(x.size for x in jax.tree.leaves(params))
 
     tx, _ = make_optimizer(
@@ -103,6 +125,14 @@ def main():
         params = optax.apply_updates(params, updates)
         return params, opt_state, mean_loss
 
+    if args.fwd_only:
+        def step(params, opt_state, latents, actions, rng):  # noqa: F811
+            mean_loss, _ = diffusion_forcing_loss(
+                dit_fn(params), latents, actions, rng, loss_cfg, abar,
+                noise_range,
+            )
+            return params, opt_state, mean_loss
+
     jstep = jax.jit(step, donate_argnums=(0, 1))
 
     latents = jax.random.normal(
@@ -121,20 +151,33 @@ def main():
     compile_s = time.time() - t0
     print(f"compiled+step0 in {compile_s:.0f}s, loss={loss0:.4f}", flush=True)
 
-    times = []
+    # warmup WITH a per-step fetch (drains the pipeline), then time a chain
+    # of steps dispatched back-to-back with ONE fetch at the end: a real
+    # training loop never syncs per step, and through the remote-device
+    # tunnel a per-step dispatch+fetch round trip costs ~30 ms that is not
+    # device time (docs/PERF.md round-2 measurement)
+    for i in range(args.warmup):
+        key = jax.random.fold_in(key, i)
+        t0 = time.perf_counter()
+        params, opt_state, loss = jstep(params, opt_state, latents, actions,
+                                        key)
+        loss_v = float(loss)
+        print(f"warmup {i}: {(time.perf_counter()-t0)*1e3:.1f} ms "
+              f"loss={loss_v:.4f}", flush=True)
+
     with trace(args.profile):
+        t0 = time.perf_counter()
         for i in range(args.steps):
-            key = jax.random.fold_in(key, i)
-            t0 = time.perf_counter()
+            key = jax.random.fold_in(key, args.warmup + i)
             params, opt_state, loss = jstep(params, opt_state, latents,
                                             actions, key)
-            loss_v = float(loss)
-            dt = time.perf_counter() - t0
-            if i >= args.warmup:
-                times.append(dt)
-            print(f"step {i}: {dt*1e3:.1f} ms  loss={loss_v:.4f}", flush=True)
+        loss_v = float(loss)  # one sync for the whole chain
+        dt = time.perf_counter() - t0
+    print(f"{args.steps}-step chain: {dt*1e3:.1f} ms "
+          f"({dt*1e3/args.steps:.1f} ms/step)  final loss={loss_v:.4f}",
+          flush=True)
 
-    mean_s = sum(times) / len(times)
+    mean_s = dt / args.steps
     n_gen = T - loss_cfg.n_prompt_frames
     flops = 3.0 * dit_forward_flops(cfg, B, T) * n_gen
     mfu = MFUCounter(flops, 1)

@@ -91,5 +91,5 @@ def test_decode_chunking_bit_identical(gen):
 def test_last_timings_populated(gen):
     gen.generate(_prompt(gen), num_frames=4, seed=0)
     t = gen.last_timings
-    assert set(t) == {"encode_s", "rollout_s", "decode_s"}
+    assert set(t) == {"encode_s", "rollout_s", "decode_s", "fetch_s"}
     assert all(v > 0 for v in t.values())
