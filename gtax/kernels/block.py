@@ -129,17 +129,22 @@ def _rope_rotate(x, cos, sin, R):
 
 
 def _spatial_attention_core(q, k, v, cos, sin, R, dtype, num_heads, n_frames,
-                            seq_len):
+                            seq_len, qkv_out=None):
     """Per-frame full attention over fp32 qkv (N*S, D) slabs: rope via the
     signed-permutation matmul (full batch, per-head lane slices — Mosaic has
     no lane-dim reshape), then (frame, head)-looped attention on
     VMEM-resident tiles. Returns fp32 (N*S, D). Shared by the bf16 and int8
-    kernels — only the GEMMs around it differ."""
+    kernels — only the GEMMs around it differ.
+
+    qkv_out: optional (q_ref, k_ref, v_ref) output refs — the POST-rope q/k
+    and cast v rows are also written out (emit_train: the residuals the
+    hand-written training backward consumes, gtax.nn.branches)."""
     S = seq_len
     D = q.shape[-1]
     d = D // num_heads
     scale_attn = 1.0 / (d**0.5)
     head_outs = []
+    qs_heads, ks_heads = [], []
     for h in range(num_heads):
         sl = slice(h * d, (h + 1) * d)
         qs32, ks32 = q[:, sl], k[:, sl]
@@ -148,6 +153,9 @@ def _spatial_attention_core(q, k, v, cos, sin, R, dtype, num_heads, n_frames,
         ks = (ks32 * cos + jnp.dot(
             ks32, R, preferred_element_type=jnp.float32) * sin).astype(dtype)
         vs = v[:, sl].astype(dtype)
+        if qkv_out is not None:
+            qs_heads.append(qs)
+            ks_heads.append(ks)
         frame_outs = []
         for n in range(n_frames):
             fr = slice(n * S, (n + 1) * S)
@@ -162,16 +170,24 @@ def _spatial_attention_core(q, k, v, cos, sin, R, dtype, num_heads, n_frames,
                 jnp.dot(probs, vs[fr], preferred_element_type=jnp.float32)
             )
         head_outs.append(jnp.concatenate(frame_outs, axis=0))
+    if qkv_out is not None:
+        qkv_out[0][:] = jnp.concatenate(qs_heads, axis=-1)
+        qkv_out[1][:] = jnp.concatenate(ks_heads, axis=-1)
+        qkv_out[2][:] = v.astype(dtype)
     # heads are contiguous d-slices of D in (h, d) order
     return jnp.concatenate(head_outs, axis=-1)
 
 
 def _kernel(x_ref, shift_ref, scale_ref, gate_ref, qkvw_ref, outw_ref,
-            outb_ref, cos_ref, sin_ref, rot_ref, o_ref, *, num_heads,
+            outb_ref, cos_ref, sin_ref, rot_ref, o_ref, q_ref=None,
+            k_ref=None, v_ref=None, y_ref=None, *, num_heads,
             n_frames, seq_len, ln_eps, mod_eps):
     """One kernel call = the whole (N*S, D) token batch: weights stream from
     HBM exactly once. LN/modulate/qkv/out run as full-batch GEMMs; only the
-    attention itself loops over (frame, head) on VMEM-resident tiles."""
+    attention itself loops over (frame, head) on VMEM-resident tiles.
+
+    q/k/v/y_ref (emit_train): post-rope q/k, cast v, and the pre-gate branch
+    output — residuals for the hand-written training backward."""
     x = x_ref[:]  # (N*S, D) bf16
     NS, D = x.shape
 
@@ -186,11 +202,14 @@ def _kernel(x_ref, shift_ref, scale_ref, gate_ref, qkvw_ref, outw_ref,
     attn_out = _spatial_attention_core(
         q, k, v, cos_ref[:], sin_ref[:], rot_ref[:], x.dtype, num_heads,
         n_frames, seq_len,
+        qkv_out=None if q_ref is None else (q_ref, k_ref, v_ref),
     ).astype(x.dtype)
 
     # output projection + bias over all tokens
     y = jnp.dot(attn_out, outw_ref[:], preferred_element_type=jnp.float32)
     y = y + outb_ref[0].astype(jnp.float32)
+    if y_ref is not None:
+        y_ref[:] = y.astype(y_ref.dtype)
 
     # gated residual
     g = _rows_from_frames(gate_ref[:].astype(jnp.float32), seq_len,
@@ -200,8 +219,9 @@ def _kernel(x_ref, shift_ref, scale_ref, gate_ref, qkvw_ref, outw_ref,
 
 def _temporal_kernel(x_ref, shift_ref, scale_ref, gate_ref, qkvw_ref,
                      outw_ref, outb_ref, cos_ref, sin_ref, rot_ref, seg_ref,
-                     bias_ref, o_ref, k_ref=None, v_ref=None, *, num_heads,
-                     n_frames, n_batches, seq_len, ln_eps, mod_eps):
+                     bias_ref, o_ref, k_ref=None, v_ref=None, q_ref=None,
+                     y_ref=None, *, num_heads, n_frames, n_batches, seq_len,
+                     ln_eps, mod_eps):
     """Fused temporal (causal) attention branch.
 
     Token-major (N*S, D) rows are FRAME-CONTIGUOUS, so attention over frames
@@ -229,10 +249,13 @@ def _temporal_kernel(x_ref, shift_ref, scale_ref, gate_ref, qkvw_ref,
         rot_ref[:], seg_ref[:],
         bias_ref, x.dtype, num_heads, n_frames, n_batches, seq_len,
         kv_out=None if k_ref is None else (k_ref, v_ref),
+        q_out=q_ref,
     ).astype(x.dtype)
 
     y = jnp.dot(attn_out, outw_ref[:], preferred_element_type=jnp.float32)
     y = y + outb_ref[0].astype(jnp.float32)
+    if y_ref is not None:
+        y_ref[:] = y.astype(y_ref.dtype)
     g = _rows_from_frames(gate_ref[:].astype(jnp.float32), seq_len,
                           x32.shape[0])
     o_ref[:] = (x32 + g * y).astype(o_ref.dtype)
@@ -240,7 +263,7 @@ def _temporal_kernel(x_ref, shift_ref, scale_ref, gate_ref, qkvw_ref,
 
 def _temporal_attention_core(q, k, v, cos, sin, R, seg, bias_ref, dtype,
                              num_heads, n_frames, n_batches, seq_len,
-                             kv_out=None):
+                             kv_out=None, q_out=None):
     """Causal frame-pair attention over fp32 qkv (N*S, D) slabs: full-width
     rope over the frame axis (rotate_half via per-head (d, d) signed
     permutation dots), then segment-sum scores per causal (i, j) frame pair —
@@ -262,6 +285,8 @@ def _temporal_attention_core(q, k, v, cos, sin, R, seg, bias_ref, dtype,
     if kv_out is not None:
         kv_out[0][:] = k
         kv_out[1][:] = v
+    if q_out is not None:
+        q_out[:] = q
 
     scale_attn = 1.0 / (d**0.5)
     out_rows = []
@@ -456,17 +481,20 @@ def temporal_preamble(rope_freqs, valid, B, S, T, num_heads, d, dtype):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("num_heads", "n_frames", "emit_kv"))
+                   static_argnames=("num_heads", "n_frames", "emit_kv",
+                                    "emit_train"))
 def fused_temporal_branch(x, shift, scale, gate, qkv_w, out_w, out_b,
                           rope_freqs, valid, num_heads, n_frames,
-                          emit_kv=False):
+                          emit_kv=False, emit_train=False):
     """x: (N=B*T, S, D) frame-major token tiles; shift/scale/gate: (N, D);
     rope_freqs: (T, rot) temporal table; valid: (T,) bool or None.
     Returns x + gate * TemporalCausalAttention(modulate(LN(x))).
 
     emit_kv=True additionally returns the post-rope (k, v) rows (N, S, D) —
     the context cache consumed by fused_temporal_step (incremental
-    decoding)."""
+    decoding). emit_train=True returns (o, q, k, v, y): post-rope q/k, cast
+    v, and the pre-gate branch output — the residuals the hand-written
+    training backward consumes (gtax.nn.branches)."""
     N, S, D = x.shape
     T = n_frames
     B = N // T
@@ -493,12 +521,14 @@ def fused_temporal_branch(x, shift, scale, gate, qkv_w, out_w, out_b,
                               memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     one = jax.ShapeDtypeStruct(xf.shape, x.dtype)
+    assert not (emit_kv and emit_train)
+    n_out = 5 if emit_train else (3 if emit_kv else 1)
     out = pl.pallas_call(
         functools.partial(
             _temporal_kernel, num_heads=num_heads, n_frames=T,
             n_batches=b_pt, seq_len=S, ln_eps=1e-6, mod_eps=1e-6,
         ),
-        out_shape=(one, one, one) if emit_kv else one,
+        out_shape=(one,) * n_out if n_out > 1 else one,
         grid=(n_tiles,),
         in_specs=[
             row_spec, frame_spec, frame_spec, frame_spec,  # x + adaLN vecs
@@ -507,10 +537,14 @@ def fused_temporal_branch(x, shift, scale, gate, qkv_w, out_w, out_b,
             full, full,                              # R, seg
             pl.BlockSpec(memory_space=pltpu.SMEM),   # bias (T, T)
         ],
-        out_specs=(row_spec, row_spec, row_spec) if emit_kv else row_spec,
+        out_specs=(row_spec,) * n_out if n_out > 1 else row_spec,
         interpret=interpret_mode(),
         compiler_params=_BRANCH_PARAMS,
     )(xf, shift, scale, gate, qkv_w, out_w, out_b, cos, sin, R, seg, bias)
+    if emit_train:
+        # kernel output order: (o, k, v, q, y) -> return (o, q, k, v, y)
+        o, kk, vv, qq, yy = (a.reshape(N, S, D) for a in out)
+        return o, qq, kk, vv, yy
     if emit_kv:
         o, kk, vv = out
         return (o.reshape(N, S, D), kk.reshape(N, S, D), vv.reshape(N, S, D))
@@ -518,15 +552,19 @@ def fused_temporal_branch(x, shift, scale, gate, qkv_w, out_w, out_b,
 
 
 def _mlp_kernel(x_ref, shift_ref, scale_ref, gate_ref, w1_ref, b1_ref,
-                w2_ref, b2_ref, o_ref, *, seq_len, ln_eps, mod_eps,
-                approx_gelu):
+                w2_ref, b2_ref, o_ref, h1_ref=None, y_ref=None, *, seq_len,
+                ln_eps, mod_eps, approx_gelu):
     """Fused LN -> modulate -> fc1 -> gelu -> fc2 -> gate -> residual, whole
     branch in ONE VMEM-resident pass. At DiT-S/2 size the full MLP weights
     (D x H + H x D bf16 ~ 17 MB) and the hidden activation (tokens x H) fit
     VMEM comfortably, so nothing is chunked: each weight byte streams from
     HBM exactly once and LN/modulate run exactly once. (Round-1's chunked
     variant recomputed LN per weight chunk and lost to XLA; this single-pass
-    version is the fix — VERDICT r1 next-#3.)"""
+    version is the fix — VERDICT r1 next-#3.)
+
+    h1_ref/y_ref (emit_train): the pre-gelu fc1 activation and the pre-gate
+    branch output, the residuals the hand-written training backward consumes
+    (gtax.nn.branches) instead of recomputing the branch forward."""
     x = x_ref[:]  # (N*S, D)
 
     x32, mod32 = _ln_modulate32(x_ref, shift_ref, scale_ref, ln_eps, mod_eps,
@@ -535,20 +573,28 @@ def _mlp_kernel(x_ref, shift_ref, scale_ref, gate_ref, w1_ref, b1_ref,
 
     h = jnp.dot(mod, w1_ref[:], preferred_element_type=jnp.float32)
     h = h + b1_ref[0].astype(jnp.float32)
+    if h1_ref is not None:
+        h1_ref[:] = h.astype(h1_ref.dtype)
     h = jax.nn.gelu(h, approximate=approx_gelu).astype(x.dtype)
     y = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
     y = y + b2_ref[0].astype(jnp.float32)
+    if y_ref is not None:
+        y_ref[:] = y.astype(y_ref.dtype)
 
     g = _rows_from_frames(gate_ref[:].astype(jnp.float32), seq_len,
                           x32.shape[0])
     o_ref[:] = (x32 + g * y).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("approx_gelu",))
+@functools.partial(jax.jit, static_argnames=("approx_gelu", "emit_train"))
 def fused_mlp_branch(x, shift, scale, gate, w1, b1, w2, b2,
-                     approx_gelu=True):
+                     approx_gelu=True, emit_train=False):
     """x: (N, S, D); shift/scale/gate: (N, D); w1: (D, H); w2: (H, D).
-    Returns x + gate * MLP(modulate(LN(x)))."""
+    Returns x + gate * MLP(modulate(LN(x))).
+
+    emit_train=True additionally returns (h1, y): the pre-gelu fc1
+    activation (N, S, H) and pre-gate branch output (N, S, D), consumed by
+    the residual-based training backward (gtax.nn.branches)."""
     N, S, D = x.shape
     H = w1.shape[1]
     xf = x.reshape(N * S, D)
@@ -565,19 +611,27 @@ def fused_mlp_branch(x, shift, scale, gate, w1, b1, w2, b2,
     frame_spec = pl.BlockSpec((fpt_pad, D), lambda c: (c, 0),
                               memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    one = jax.ShapeDtypeStruct(xf.shape, x.dtype)
+    hid_spec = pl.BlockSpec((tile_rows, H), lambda c: (c, 0),
+                            memory_space=pltpu.VMEM)
+    hid = jax.ShapeDtypeStruct((N * S, H), x.dtype)
     out = pl.pallas_call(
         functools.partial(
             _mlp_kernel, seq_len=S, ln_eps=1e-6, mod_eps=1e-6,
             approx_gelu=approx_gelu,
         ),
-        out_shape=jax.ShapeDtypeStruct(xf.shape, x.dtype),
+        out_shape=(one, hid, one) if emit_train else one,
         grid=(n_tiles,),
         in_specs=[row_spec, frame_spec, frame_spec, frame_spec,
                   full, full, full, full],
-        out_specs=row_spec,
+        out_specs=(row_spec, hid_spec, row_spec) if emit_train else row_spec,
         interpret=interpret_mode(),
         compiler_params=_BRANCH_PARAMS,
     )(xf, shift, scale, gate, w1, b1, w2, b2)
+    if emit_train:
+        o, h1, y = out
+        return (o.reshape(N, S, D), h1.reshape(N, S, H),
+                y.reshape(N, S, D))
     return out.reshape(N, S, D)
 
 
@@ -648,9 +702,9 @@ def _frames_per_tile(n_frames: int, seq_len: int, max_rows: int = 768) -> int:
     return per
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads",))
+@functools.partial(jax.jit, static_argnames=("num_heads", "emit_train"))
 def fused_spatial_branch(x, shift, scale, gate, qkv_w, out_w, out_b,
-                         rope_freqs, num_heads):
+                         rope_freqs, num_heads, emit_train=False):
     """x: (N, S, D) per-frame token tiles; shift/scale/gate: (N, D);
     qkv_w: (D, 3D); out_w: (D, D); out_b: (D,);
     rope_freqs: (S, rot_dim) pixel-axial table (rot_dim == head_dim).
@@ -659,6 +713,10 @@ def fused_spatial_branch(x, shift, scale, gate, qkv_w, out_w, out_b,
     Frames are independent in spatial attention, so the token rows chunk
     exactly over a grid of frame tiles (weights re-stream per tile — cheap
     next to the tile's compute at training batch sizes).
+
+    emit_train=True additionally returns (q, k, v, y): post-rope q/k, cast
+    v, and the pre-gate branch output (all (N, S, D)) — the residuals the
+    hand-written training backward consumes (gtax.nn.branches).
     """
     N, S, D = x.shape
     d = D // num_heads
@@ -678,12 +736,13 @@ def fused_spatial_branch(x, shift, scale, gate, qkv_w, out_w, out_b,
                               memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     rot = rope_freqs.shape[-1]
+    one = jax.ShapeDtypeStruct(xf.shape, x.dtype)
     out = pl.pallas_call(
         functools.partial(
             _kernel, num_heads=num_heads, n_frames=fpt, seq_len=S,
             ln_eps=1e-6, mod_eps=1e-6,
         ),
-        out_shape=jax.ShapeDtypeStruct(xf.shape, x.dtype),
+        out_shape=(one,) * 5 if emit_train else one,
         grid=(n_tiles,),
         in_specs=[
             row_spec, frame_spec, frame_spec, frame_spec,  # x + adaLN vecs
@@ -694,10 +753,12 @@ def fused_spatial_branch(x, shift, scale, gate, qkv_w, out_w, out_b,
                          memory_space=pltpu.VMEM),   # sin
             full,                                    # R
         ],
-        out_specs=row_spec,
+        out_specs=(row_spec,) * 5 if emit_train else row_spec,
         interpret=interpret_mode(),
         compiler_params=_BRANCH_PARAMS,
     )(xf, shift, scale, gate, qkv_w, out_w, out_b, cos, sin, R)
+    if emit_train:
+        return tuple(a.reshape(N, S, D) for a in out)
     return out.reshape(N, S, D)
 
 

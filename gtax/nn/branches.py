@@ -2,17 +2,32 @@
 TRAINABLE fused wrappers.
 
 The Pallas whole-branch megakernels (gtax.kernels.block) are forward-only —
-pallas_call has no autodiff. Each trainable wrapper pairs the kernel forward
-with an XLA-autodiff backward over a numerically-equivalent flat-argument XLA
-implementation (jax.custom_vjp): the backward recomputes the branch forward
-in XLA from the saved inputs and differentiates it — the flash-attention
-recipe, and memory-wise the same recompute-from-boundary behaviour as
-per-block remat.
+pallas_call has no autodiff. Each trainable wrapper is a jax.custom_vjp:
 
-This makes `attention_backend: fused` legal for TRAINING: the forward scan
-runs the fused kernels (~2x faster than XLA at flagship size) while gradients
-are bit-identical to XLA-backward-of-XLA-forward up to the fwd-activation
-difference between the kernel and XLA paths (tested <= 5e-4 fp32).
+- the PRIMAL path (inference) runs the plain fused kernel — no extra
+  outputs, so serving rollouts pay nothing;
+- under differentiation, the forward runs the kernel with emit_train=True,
+  which ALSO writes out the branch's internal residuals (post-rope q/k,
+  cast v, and the pre-gate output for attention; the pre-gelu fc1
+  activation and pre-gate output for the MLP);
+- the BACKWARD is hand-derived XLA that consumes those residuals: every
+  forward GEMM's output is already in hand, so the backward runs exactly
+  the ~2x-forward transpose GEMMs plus cheap elementwise recomputes
+  (LN/modulate/gelu/softmax re-derived via jax.vjp over the same
+  gtax.nn.layers helpers — one implementation, no drift).
+
+Round-2 history: the first trainable wrappers recomputed the WHOLE branch
+forward in XLA inside bwd (jax.vjp(xla_fn, *inputs)) — flash-attention
+style, but it made a train step spend ~4x forward FLOPs, and the XLA branch
+forward is ~2x slower than the fused kernel on v5e (docs/PERF.md MFU
+attribution). Emitting residuals cuts the recompute GEMMs out of the step.
+
+Gradient parity vs the pure-XLA path is tested (tests/test_kernels.py,
+<= 5e-4 fp32). The rope FREQUENCY tables get a zero cotangent by
+construction — the reference keeps them frozen (learned_freq=False,
+rotary_embedding_torch.py:138-144) and gtax stop_gradients them at the
+call site (gtax/models/dit.py), so nothing downstream ever consumes a
+nonzero value.
 
 Branch semantics parity target: SpatioTemporalDiTBlock
 (/root/reference/model/dit.py:200-225).
@@ -24,6 +39,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from gtax.core import rope
 from gtax.nn.attention import _sdpa_heads_last
@@ -122,25 +138,102 @@ def xla_mlp_branch(x, shift, scale, g, w1, b1, w2, b2, dtype):
 # ------------------------------------------------- trainable fused wrappers
 
 
+def _wgrad(a, b, dtype, out_dtype):
+    """Weight gradient a^T @ b contracted over the (N, S) token axes, MXU
+    operands in the compute dtype, fp32 accumulation (matches _linear's AD
+    transpose)."""
+    return jnp.einsum(
+        "nsd,nse->de", a.astype(dtype), b.astype(dtype),
+        preferred_element_type=jnp.float32,
+        precision=matmul_precision(jnp.dtype(dtype)),
+    ).astype(out_dtype)
+
+
+def _dmat(a, w, dtype, out_dtype):
+    """Input gradient a @ w^T (activation cotangent through a linear)."""
+    return jnp.einsum(
+        "nse,de->nsd", a.astype(dtype), w.astype(dtype),
+        preferred_element_type=jnp.float32,
+        precision=matmul_precision(jnp.dtype(dtype)),
+    ).astype(out_dtype)
+
+
+def _gate_bwd(ct, g, y):
+    """out = x + g[:, None, :] * y -> (ct32, dg, dy) in fp32."""
+    ct32 = ct.astype(jnp.float32)
+    dg = jnp.sum(ct32 * y.astype(jnp.float32), axis=1).astype(g.dtype)
+    dy = ct32 * g.astype(jnp.float32)[:, None, :]
+    return ct32, dg, dy
+
+
+def _rope_transpose(freqs, u):
+    """Adjoint of apply_rotary_emb for FULL-width rotation: the forward is
+    t -> t*cos(f) + rotate_half(t)*sin(f) and rotate_half's transpose is
+    w -> -rotate_half(w), so F^T(u) = u*cos(f) - rotate_half(u*sin(f)) —
+    exact for any frequency table (not just pairwise-duplicated ones)."""
+    f32 = freqs.astype(jnp.float32)
+    u32 = u.astype(jnp.float32)
+    out = u32 * jnp.cos(f32) - rope.rotate_half(u32 * jnp.sin(f32))
+    return out.astype(u.dtype)
+
+
 @functools.lru_cache(maxsize=None)
 def trainable_spatial_branch(num_heads: int, dtype_name: str):
     dtype = jnp.dtype(dtype_name)
     from gtax.kernels.block import fused_spatial_branch
-
-    def xla_fn(x, shift, scale, g, qkv_w, out_w, out_b, rope_freqs):
-        return xla_spatial_branch(x, shift, scale, g, qkv_w, out_w, out_b,
-                                  rope_freqs, num_heads, dtype)
 
     @jax.custom_vjp
     def f(x, shift, scale, g, qkv_w, out_w, out_b, rope_freqs):
         return fused_spatial_branch(x, shift, scale, g, qkv_w, out_w, out_b,
                                     rope_freqs, num_heads)
 
-    def fwd(*args):
-        return f(*args), args
+    def fwd(x, shift, scale, g, qkv_w, out_w, out_b, rope_freqs):
+        out, qr, kr, vr, y = fused_spatial_branch(
+            x, shift, scale, g, qkv_w, out_w, out_b, rope_freqs, num_heads,
+            emit_train=True,
+        )
+        return out, (x, shift, scale, g, qkv_w, out_w, out_b, rope_freqs,
+                     qr, kr, vr, y)
 
     def bwd(res, ct):
-        return jax.vjp(xla_fn, *res)[1](ct)
+        (x, shift, scale, g, qkv_w, out_w, out_b, rope_freqs,
+         qr, kr, vr, y) = res
+        N, S, D = x.shape
+        d = D // num_heads
+        ct32, dg, dy = _gate_bwd(ct, g, y)
+
+        # proj: y = ao @ out_w + out_b; ao recomputed from the emitted
+        # post-rope q/k and v via the same sdpa helper the XLA path uses
+        # (2 small MXU dots fwd + their AD — no large-GEMM recompute)
+        def sdpa_fn(q_, k_, v_):
+            q4 = q_.reshape(N, S, num_heads, d)
+            k4 = k_.reshape(N, S, num_heads, d)
+            v4 = v_.reshape(N, S, num_heads, d)
+            return _sdpa_heads_last(q4, k4, v4).reshape(N, S, D)
+
+        ao, sdpa_vjp = jax.vjp(sdpa_fn, qr, kr, vr)
+        dW_out = _wgrad(ao, dy, dtype, out_w.dtype)
+        db_out = jnp.sum(dy, axis=(0, 1)).astype(out_b.dtype)
+        dao = _dmat(dy, out_w, dtype, ao.dtype)
+        dqr, dkr, dvr = sdpa_vjp(dao)
+
+        rf = rope_freqs[:, None, :]
+        dq = _rope_transpose(
+            rf, dqr.reshape(N, S, num_heads, d)).reshape(N, S, D)
+        dk = _rope_transpose(
+            rf, dkr.reshape(N, S, num_heads, d)).reshape(N, S, D)
+        dqkv = jnp.concatenate([dq, dk, dvr], axis=-1)
+
+        def pre_fn(x_, sh_, sc_):
+            return modulate(layer_norm(x_), sh_, sc_)
+
+        mod, pre_vjp = jax.vjp(pre_fn, x, shift, scale)
+        dW_qkv = _wgrad(mod, dqkv, dtype, qkv_w.dtype)
+        dmod = _dmat(dqkv, qkv_w, dtype, mod.dtype)
+        dx_pre, dshift, dscale = pre_vjp(dmod)
+        dx = (ct32 + dx_pre.astype(jnp.float32)).astype(x.dtype)
+        return (dx, dshift, dscale, dg, dW_qkv, dW_out, db_out,
+                jnp.zeros_like(rope_freqs))
 
     f.defvjp(fwd, bwd)
     return f
@@ -152,35 +245,104 @@ def trainable_temporal_branch(num_heads: int, n_frames: int, has_valid: bool,
     dtype = jnp.dtype(dtype_name)
     from gtax.kernels.block import fused_temporal_branch
 
-    if has_valid:
-        def xla_fn(x, shift, scale, g, qkv_w, out_w, out_b, rope_freqs,
-                   valid):
-            return xla_temporal_branch(x, shift, scale, g, qkv_w, out_w,
-                                       out_b, rope_freqs, valid, num_heads,
-                                       n_frames, dtype)
+    def bwd_core(res, ct, valid):
+        (x, shift, scale, g, qkv_w, out_w, out_b, rope_freqs,
+         qr, kr, vr, y) = res
+        N, S, D = x.shape
+        T = n_frames
+        B = N // T
+        d = D // num_heads
+        ct32, dg, dy = _gate_bwd(ct, g, y)
 
+        causal = jnp.tril(jnp.ones((T, T), dtype=bool))
+        if valid is not None:
+            key_ok = jnp.logical_or(valid[None, :], jnp.eye(T, dtype=bool))
+            mask = jnp.logical_and(causal, key_ok)
+        else:
+            mask = causal
+        precision = matmul_precision(jnp.dtype(dtype))
+
+        def sdpa_fn(q_, k_, v_):
+            # the post-rope half of xla_temporal_branch, verbatim semantics
+            q5 = q_.reshape(B, T, S, num_heads, d)
+            k5 = k_.reshape(B, T, S, num_heads, d)
+            v5 = v_.reshape(B, T, S, num_heads, d)
+            logits = (
+                jnp.einsum(
+                    "bqshd,bkshd->bshqk", q5, k5,
+                    preferred_element_type=jnp.float32, precision=precision,
+                )
+                * (1.0 / d**0.5)
+            )
+            logits = jnp.where(mask, logits, jnp.float32(-1e30))
+            probs = jax.nn.softmax(logits, axis=-1)
+            out = jnp.einsum(
+                "bshqk,bkshd->bqshd", probs.astype(q5.dtype), v5,
+                preferred_element_type=jnp.float32, precision=precision,
+            ).astype(q5.dtype)
+            return out.reshape(N, S, D)
+
+        ao, sdpa_vjp = jax.vjp(sdpa_fn, qr, kr, vr)
+        dW_out = _wgrad(ao, dy, dtype, out_w.dtype)
+        db_out = jnp.sum(dy, axis=(0, 1)).astype(out_b.dtype)
+        dao = _dmat(dy, out_w, dtype, ao.dtype)
+        dqr, dkr, dvr = sdpa_vjp(dao)
+
+        rf = rope_freqs[:, None, None, :]  # (T, 1, 1, rot)
+        dq = _rope_transpose(
+            rf, dqr.reshape(B, T, S, num_heads, d)).reshape(N, S, D)
+        dk = _rope_transpose(
+            rf, dkr.reshape(B, T, S, num_heads, d)).reshape(N, S, D)
+        dqkv = jnp.concatenate([dq, dk, dvr], axis=-1)
+
+        def pre_fn(x_, sh_, sc_):
+            return modulate(layer_norm(x_), sh_, sc_)
+
+        mod, pre_vjp = jax.vjp(pre_fn, x, shift, scale)
+        dW_qkv = _wgrad(mod, dqkv, dtype, qkv_w.dtype)
+        dmod = _dmat(dqkv, qkv_w, dtype, mod.dtype)
+        dx_pre, dshift, dscale = pre_vjp(dmod)
+        dx = (ct32 + dx_pre.astype(jnp.float32)).astype(x.dtype)
+        return (dx, dshift, dscale, dg, dW_qkv, dW_out, db_out,
+                jnp.zeros_like(rope_freqs))
+
+    if has_valid:
         @jax.custom_vjp
         def f(x, shift, scale, g, qkv_w, out_w, out_b, rope_freqs, valid):
             return fused_temporal_branch(x, shift, scale, g, qkv_w, out_w,
                                          out_b, rope_freqs, valid, num_heads,
                                          n_frames)
-    else:
-        def xla_fn(x, shift, scale, g, qkv_w, out_w, out_b, rope_freqs):
-            return xla_temporal_branch(x, shift, scale, g, qkv_w, out_w,
-                                       out_b, rope_freqs, None, num_heads,
-                                       n_frames, dtype)
 
+        def fwd(x, shift, scale, g, qkv_w, out_w, out_b, rope_freqs, valid):
+            out, qr, kr, vr, y = fused_temporal_branch(
+                x, shift, scale, g, qkv_w, out_w, out_b, rope_freqs, valid,
+                num_heads, n_frames, emit_train=True,
+            )
+            return out, ((x, shift, scale, g, qkv_w, out_w, out_b,
+                          rope_freqs, qr, kr, vr, y), valid)
+
+        def bwd(res_valid, ct):
+            res, valid = res_valid
+            return bwd_core(res, ct, valid) + (
+                np.zeros(valid.shape, dtype=jax.dtypes.float0),
+            )
+    else:
         @jax.custom_vjp
         def f(x, shift, scale, g, qkv_w, out_w, out_b, rope_freqs):
             return fused_temporal_branch(x, shift, scale, g, qkv_w, out_w,
                                          out_b, rope_freqs, None, num_heads,
                                          n_frames)
 
-    def fwd(*args):
-        return f(*args), args
+        def fwd(x, shift, scale, g, qkv_w, out_w, out_b, rope_freqs):
+            out, qr, kr, vr, y = fused_temporal_branch(
+                x, shift, scale, g, qkv_w, out_w, out_b, rope_freqs, None,
+                num_heads, n_frames, emit_train=True,
+            )
+            return out, (x, shift, scale, g, qkv_w, out_w, out_b,
+                         rope_freqs, qr, kr, vr, y)
 
-    def bwd(res, ct):
-        return jax.vjp(xla_fn, *res)[1](ct)
+        def bwd(res, ct):
+            return bwd_core(res, ct, None)
 
     f.defvjp(fwd, bwd)
     return f
@@ -191,18 +353,37 @@ def trainable_mlp_branch(dtype_name: str):
     dtype = jnp.dtype(dtype_name)
     from gtax.kernels.block import fused_mlp_branch
 
-    def xla_fn(x, shift, scale, g, w1, b1, w2, b2):
-        return xla_mlp_branch(x, shift, scale, g, w1, b1, w2, b2, dtype)
-
     @jax.custom_vjp
     def f(x, shift, scale, g, w1, b1, w2, b2):
         return fused_mlp_branch(x, shift, scale, g, w1, b1, w2, b2)
 
-    def fwd(*args):
-        return f(*args), args
+    def fwd(x, shift, scale, g, w1, b1, w2, b2):
+        out, h1, y = fused_mlp_branch(x, shift, scale, g, w1, b1, w2, b2,
+                                      emit_train=True)
+        return out, (x, shift, scale, g, w1, b1, w2, b2, h1, y)
 
     def bwd(res, ct):
-        return jax.vjp(xla_fn, *res)[1](ct)
+        x, shift, scale, g, w1, b1, w2, b2, h1, y = res
+        ct32, dg, dy = _gate_bwd(ct, g, y)
+
+        # fc2: y = gelu(h1) @ w2 + b2, with h1 the emitted pre-gelu fc1
+        # activation — gelu/gelu' recompute is elementwise VPU work
+        ha, gelu_vjp = jax.vjp(gelu_tanh, h1)
+        dW2 = _wgrad(ha, dy, dtype, w2.dtype)
+        db2 = jnp.sum(dy, axis=(0, 1)).astype(b2.dtype)
+        dha = _dmat(dy, w2, dtype, ha.dtype)
+        (dh1,) = gelu_vjp(dha)
+
+        def pre_fn(x_, sh_, sc_):
+            return modulate(layer_norm(x_), sh_, sc_)
+
+        mod, pre_vjp = jax.vjp(pre_fn, x, shift, scale)
+        dW1 = _wgrad(mod, dh1, dtype, w1.dtype)
+        db1 = jnp.sum(dh1, axis=(0, 1)).astype(b1.dtype)
+        dmod = _dmat(dh1, w1, dtype, mod.dtype)
+        dx_pre, dshift, dscale = pre_vjp(dmod)
+        dx = (ct32 + dx_pre.astype(jnp.float32)).astype(x.dtype)
+        return dx, dshift, dscale, dg, dW1, db1, dW2, db2
 
     f.defvjp(fwd, bwd)
     return f

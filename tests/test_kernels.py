@@ -408,3 +408,60 @@ def test_quant_branches_tiling_consistent():
                                    qkv_s, out_q, out_s, out_b, sfreqs, H)
     np.testing.assert_array_equal(np.asarray(whole),
                                   np.asarray(jnp.concatenate([half0, half1])))
+
+
+def test_residual_backward_grad_parity_per_branch():
+    """The trainable wrappers' hand-written backwards (residuals emitted by
+    the kernel forward, transpose GEMMs in XLA — gtax.nn.branches) must match
+    XLA autodiff of the reference branch implementations, per argument, for
+    all three branches. Rope FREQUENCY tables are excluded: their cotangent
+    is zero by construction (frozen upstream via stop_gradient)."""
+    from gtax.nn import branches as br
+
+    N, S, D, H, heads = 10, 16, 64, 256, 4
+    T = 5
+    ks = jax.random.split(jax.random.PRNGKey(0), 12)
+    f32 = jnp.float32
+    x = jax.random.normal(ks[0], (N, S, D), f32)
+    sh = jax.random.normal(ks[1], (N, D), f32) * 0.1
+    sc = jax.random.normal(ks[2], (N, D), f32) * 0.1
+    g = jax.random.normal(ks[3], (N, D), f32) * 0.5
+    qkv_w = jax.random.normal(ks[4], (D, 3 * D), f32) * 0.05
+    out_w = jax.random.normal(ks[5], (D, D), f32) * 0.05
+    out_b = jax.random.normal(ks[6], (D,), f32) * 0.01
+    w1 = jax.random.normal(ks[7], (D, H), f32) * 0.05
+    b1 = jax.random.normal(ks[8], (H,), f32) * 0.01
+    w2 = jax.random.normal(ks[9], (H, D), f32) * 0.05
+    b2 = jax.random.normal(ks[10], (D,), f32) * 0.01
+    rope_s = jax.random.normal(ks[11], (S, D // heads), f32)
+    rope_t = jax.random.normal(ks[11], (T, D // heads), f32)
+    ct_like = jax.random.normal(ks[0], (N, S, D), f32)
+
+    def check(name, fused_fn, xla_fn, args, skip=()):
+        idx = tuple(i for i in range(len(args)) if i not in skip)
+        gf = jax.grad(lambda *a: jnp.sum(fused_fn(*a) * ct_like),
+                      argnums=idx)(*args)
+        gx = jax.grad(lambda *a: jnp.sum(xla_fn(*a) * ct_like),
+                      argnums=idx)(*args)
+        for i, (a, b) in zip(idx, zip(gf, gx)):
+            scale = max(1e-8, float(jnp.abs(b).max()))
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b),
+                atol=5e-5 * scale, rtol=5e-4,
+                err_msg=f"{name} arg {i}")
+
+    check("mlp", br.trainable_mlp_branch("float32"),
+          lambda *a: br.xla_mlp_branch(*a, f32),
+          (x, sh, sc, g, w1, b1, w2, b2))
+    check("spatial", br.trainable_spatial_branch(heads, "float32"),
+          lambda *a: br.xla_spatial_branch(*a, heads, f32),
+          (x, sh, sc, g, qkv_w, out_w, out_b, rope_s), skip=(7,))
+    check("temporal", br.trainable_temporal_branch(heads, T, False, "float32"),
+          lambda *a: br.xla_temporal_branch(*a[:8], None, heads, T, f32),
+          (x, sh, sc, g, qkv_w, out_w, out_b, rope_t), skip=(7,))
+    valid = jnp.asarray([False, True, True, True, True])
+    check("temporal+valid",
+          lambda *a: br.trainable_temporal_branch(
+              heads, T, True, "float32")(*a, valid),
+          lambda *a: br.xla_temporal_branch(*a[:8], valid, heads, T, f32),
+          (x, sh, sc, g, qkv_w, out_w, out_b, rope_t), skip=(7,))
