@@ -25,6 +25,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REFERENCE = "/root/reference"
 OUT = os.path.join(REPO, "tests", "golden")
 os.makedirs(OUT, exist_ok=True)
+sys.path.insert(0, REPO)
+
+from gtax.utils.platform import honor_env_platform  # noqa: E402
+
+honor_env_platform()  # an explicit JAX_PLATFORMS=cpu must win over axon
 
 
 def install_stubs():
@@ -136,10 +141,6 @@ def randomize_(model: torch.nn.Module, seed: int, std: float = 0.05):
 def main():
     install_stubs()
     sys.path.insert(0, REFERENCE)
-
-from gtax.utils.platform import honor_env_platform
-
-honor_env_platform()  # an explicit JAX_PLATFORMS=cpu must win over axon
     torch.manual_seed(0)
     from safetensors.torch import save_model
 

@@ -29,6 +29,7 @@ REFERENCE = "/root/reference"
 OUT = os.path.join(REPO, "tests", "golden_full")
 os.makedirs(OUT, exist_ok=True)
 sys.path.insert(0, SCRIPTS)
+sys.path.insert(0, REPO)
 
 from gtax.utils.platform import honor_env_platform
 
