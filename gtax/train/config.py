@@ -54,6 +54,9 @@ class TrainingConfig:
     remat: bool = False                  # jax.checkpoint the DiT blocks
     mu_bf16: bool = False                # Adam first moment in bfloat16
     profile_dir: Optional[str] = None    # jax.profiler trace output
+    validation_max_batches: int = 0      # 0: iterate the WHOLE val split
+    #   (reference validation() walks the full loader, train_dit.py:711-744;
+    #    set >0 to cap for quick sanity runs)
 
     @classmethod
     def from_yaml(cls, path: str) -> "TrainingConfig":

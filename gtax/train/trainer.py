@@ -348,6 +348,8 @@ class Trainer:
                 if step_in_epoch_skip > 0:
                     step_in_epoch_skip -= 1
                     continue
+                if self.global_step == 0:
+                    self._step0_diagnostics(batch)
                 metrics = self.train_step(batch)
                 self.global_step += 1
                 if self.global_step % cfg.logging_steps == 0:
@@ -407,6 +409,49 @@ class Trainer:
         metrics["learning_rate"] = float(self.lr_schedule(self.global_step))
         return metrics
 
+    def _step0_diagnostics(self, batch: Batch):
+        """First-step sanity dump (reference train_dit.py:652-674, 686-699):
+        per-rank tensor stats of the first training batch plus the in-loss
+        visualization grid — the reference's primary "is my data pipeline
+        sane" tool. Must never kill training."""
+        try:
+            rank = jax.process_index()
+            for name, arr in (("video", batch.video),
+                              ("actions", batch.actions)):
+                if arr is None:
+                    logger.info("[rank %d] step0 %s: None", rank, name)
+                    continue
+                if hasattr(arr, "addressable_shards"):
+                    # per-rank LOCAL stats (the reference dumps per-rank,
+                    # train_dit.py:686-699); also safe on non-fully-
+                    # addressable multi-host global arrays
+                    a = np.concatenate(
+                        [np.asarray(s.data) for s in arr.addressable_shards]
+                    ).astype(np.float32)
+                else:
+                    a = np.asarray(arr).astype(np.float32)
+                logger.info(
+                    "[rank %d] step0 %s: shape=%s dtype=%s "
+                    "min=%.4f max=%.4f mean=%.4f std=%.4f",
+                    rank, name, a.shape, getattr(arr, "dtype", "?"),
+                    a.min(), a.max(), a.mean(), a.std(),
+                )
+        except Exception as e:
+            logger.warning("step0 tensor-stat dump failed: %r", e)
+        if batch.is_latents:
+            return  # the grid decodes pixels; latent-cache batches carry none
+        try:
+            # drop the leading accumulation axis for the single-window grid
+            self.predict_noise(
+                Batch(video=np.asarray(jax.device_get(batch.video))[0],
+                      actions=(
+                          np.asarray(jax.device_get(batch.actions))[0]
+                          if batch.actions is not None else None
+                      ))
+            )
+        except Exception as e:
+            logger.warning("step0 visualization failed: %r", e)
+
     def _eval_key(self, tag: int):
         """STATELESS eval key: evals must never advance self.rng — they run
         inside per-rank try/except (and their batch counts can differ per
@@ -418,17 +463,23 @@ class Trainer:
         )
         return jax.random.fold_in(base, tag)
 
-    def run_validation(self, val_loader, max_batches: int = 50):
+    def run_validation(self, val_loader, max_batches: int | None = None):
         """Validation loss + rollout + renoise evals
-        (reference train_dit.py:711-744, 371-464, 466-552)."""
+        (reference train_dit.py:711-744, 371-464, 466-552).
+
+        Like the reference's validation(), this walks the ENTIRE val loader
+        by default; `validation_max_batches` (config) or the `max_batches`
+        argument caps it for quick sanity runs (<=0 means no cap)."""
         if val_loader is None:
             return None
+        if max_batches is None:
+            max_batches = self.config.validation_max_batches
         losses = []
         first_batch = None
         for i, batch in enumerate(self.iter_eval_batches(val_loader)):
             if first_batch is None:
                 first_batch = batch
-            if i >= max_batches:
+            if max_batches > 0 and i >= max_batches:
                 break
             key = self._eval_key(i)
             losses.append(

@@ -338,3 +338,56 @@ def test_latent_cache_training_bit_identical(tmp_path):
     reopened = LatentCacheDataset(str(tmp_path / "cache"))
     np.testing.assert_array_equal(reopened[3]["latents"],
                                   lat_ds[3]["latents"])
+
+
+def test_full_val_split_and_step0_diagnostics(tmp_path, monkeypatch):
+    """The default validation walks the ENTIRE val split (reference
+    validation(), train_dit.py:711-744 — round-2 gtax silently capped at 50
+    batches), and a fresh run dumps per-rank tensor stats + the in-loss
+    debug grid on step 0 (reference train_dit.py:652-674, 686-699)."""
+    monkeypatch.chdir(tmp_path)
+    mesh = meshlib.make_mesh(meshlib.MeshConfig(data=1, model=1),
+                             devices=jax.devices()[:1])
+    config = TrainingConfig.from_dict(dict(
+        dataset_type="dummy", batch_size=2, validation_batch_size=2,
+        num_epochs=1, max_steps=2, gradient_accumulation_steps=1,
+        ddim_noise_steps=4, ddim_noise_steps_inference=2, ctx_max_noise_idx=2,
+        n_prompt_frames=4, use_wandb=False, use_action_conditioning=True,
+        learning_rate=1e-3, output_dir=str(tmp_path / "out"),
+        compute_dtype="float32", validation_steps=0, save_every=0,
+        logging_steps=100, resume_from_checkpoint=False,
+    ))
+    assert config.validation_max_batches == 0  # default: no cap
+    trainer = Trainer(
+        config, total_dataset_size=8, dit_cfg=TINY_DIT, vae_cfg=TINY_VAE,
+        dit_params=dit_init(jax.random.PRNGKey(0), TINY_DIT),
+        vae_params=vae_init(jax.random.PRNGKey(0), TINY_VAE), mesh=mesh,
+    )
+    # count val batches actually evaluated
+    n_eval = {"n": 0}
+    real_eval = trainer._eval_step
+
+    def counting_eval(*a, **kw):
+        n_eval["n"] += 1
+        return real_eval(*a, **kw)
+
+    trainer._eval_step = counting_eval
+    val_ds = DummyDataset("val", return_actions=True, height=FRAME_HW[0],
+                          width=FRAME_HW[1])
+    val_loader = DataLoader(val_ds, batch_size=2, num_workers=1, seed=0)
+    train_ds = DummyDataset("train", return_actions=True, height=FRAME_HW[0],
+                            width=FRAME_HW[1], size=4)
+    train_loader = DataLoader(train_ds, batch_size=2, num_workers=1, seed=0)
+    trainer.training_loop(train_loader, val_loader)
+    # dummy val split has 10 samples -> 5 batches of 2, ALL evaluated
+    assert n_eval["n"] == 5, n_eval
+    # step-0 grid written by _step0_diagnostics (plus the renoise eval's own)
+    grids = [f for f in os.listdir("debug_visualizations")
+             if f.endswith("_noise_gs_0.png")]
+    assert grids, os.listdir("debug_visualizations")
+
+    # the cap still works when configured
+    trainer.config.validation_max_batches = 2
+    n_eval["n"] = 0
+    trainer.run_validation(val_loader)
+    assert n_eval["n"] == 2, n_eval
