@@ -966,16 +966,32 @@ def make_incremental_fns(cfg: DiTConfig, compute_dtype=jnp.bfloat16):
 def unstack_for_inference(params, cfg: DiTConfig):
     """Convert the stacked `blocks` pytree into a tuple of per-block pytrees.
 
-    For serving: dit_apply then runs a Python loop over separate weight
-    arrays, eliminating the scan's per-block weight slice copies (see the
-    fast-path comment in dit_apply). Do this OUTSIDE any jit, once, after
-    cast_params_for_inference. Training code must keep the stacked layout
-    (the trainable custom_vjp path and optax updates expect it)."""
+    dit_apply then runs a Python loop over separate weight arrays,
+    eliminating the scan's per-block weight slice copies (see the fast-path
+    comment in dit_apply). Do this OUTSIDE any jit, once (after
+    cast_params_for_inference when serving). Round 3: the layout also wins
+    for TRAINING — the scan's stacked-grad dynamic-update-slice accumulation
+    and weight slicing cost ~45 ms of a 246 ms step at flagship B=8
+    (docs/PERF.md round-3 profile; config key `unstack_train`); grads and
+    optax updates flow through the tuple-of-dicts layout unchanged."""
     out = dict(params)
     out["blocks"] = tuple(
         jax.tree.map(lambda a, i=i: a[i], params["blocks"])
         for i in range(cfg.depth)
     )
+    return out
+
+
+def restack_params(params, cfg: DiTConfig):
+    """Inverse of unstack_for_inference: tuple of per-block pytrees back to
+    the stacked (depth, ...) layout (safetensors export, layout-agnostic
+    checkpoint interchange). No-op if already stacked."""
+    if not isinstance(params.get("blocks"), (tuple, list)):
+        return params
+    out = dict(params)
+    blocks = params["blocks"]
+    assert len(blocks) == cfg.depth, (len(blocks), cfg.depth)
+    out["blocks"] = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
     return out
 
 

@@ -36,6 +36,7 @@ Branch semantics parity target: SpatioTemporalDiTBlock
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -137,6 +138,21 @@ def xla_mlp_branch(x, shift, scale, g, w1, b1, w2, b2, dtype):
 
 # ------------------------------------------------- trainable fused wrappers
 
+# The branch backwards run as fused Pallas kernels (gtax.kernels.backward)
+# by default; GTAX_XLA_BWD=1 falls back to the hand-derived XLA backward
+# below (the round-2 path — kept as the parity reference and escape hatch).
+_PALLAS_BWD = os.environ.get("GTAX_XLA_BWD") != "1"
+
+
+def use_pallas_bwd() -> bool:
+    return _PALLAS_BWD
+
+
+def set_pallas_bwd(value: bool) -> None:
+    """Toggle the fused Pallas branch backwards (tests compare both paths)."""
+    global _PALLAS_BWD
+    _PALLAS_BWD = bool(value)
+
 
 def _wgrad(a, b, dtype, out_dtype):
     """Weight gradient a^T @ b contracted over the (N, S) token axes, MXU
@@ -198,6 +214,17 @@ def trainable_spatial_branch(num_heads: int, dtype_name: str):
     def bwd(res, ct):
         (x, shift, scale, g, qkv_w, out_w, out_b, rope_freqs,
          qr, kr, vr, y) = res
+        if use_pallas_bwd():
+            from gtax.kernels.backward import fused_spatial_branch_bwd
+
+            dx, dshift, dscale, dg, dW_qkv, dW_out, db_out = (
+                fused_spatial_branch_bwd(x, shift, scale, g, qkv_w, out_w,
+                                         rope_freqs, qr, kr, vr, y, ct,
+                                         num_heads=num_heads))
+            return (dx, dshift.astype(shift.dtype),
+                    dscale.astype(scale.dtype), dg.astype(g.dtype),
+                    dW_qkv.astype(qkv_w.dtype), dW_out.astype(out_w.dtype),
+                    db_out.astype(out_b.dtype), jnp.zeros_like(rope_freqs))
         N, S, D = x.shape
         d = D // num_heads
         ct32, dg, dy = _gate_bwd(ct, g, y)
@@ -248,6 +275,18 @@ def trainable_temporal_branch(num_heads: int, n_frames: int, has_valid: bool,
     def bwd_core(res, ct, valid):
         (x, shift, scale, g, qkv_w, out_w, out_b, rope_freqs,
          qr, kr, vr, y) = res
+        if use_pallas_bwd():
+            from gtax.kernels.backward import fused_temporal_branch_bwd
+
+            dx, dshift, dscale, dg, dW_qkv, dW_out, db_out = (
+                fused_temporal_branch_bwd(x, shift, scale, g, qkv_w, out_w,
+                                          rope_freqs, valid, qr, kr, vr, y,
+                                          ct, num_heads=num_heads,
+                                          n_frames=n_frames))
+            return (dx, dshift.astype(shift.dtype),
+                    dscale.astype(scale.dtype), dg.astype(g.dtype),
+                    dW_qkv.astype(qkv_w.dtype), dW_out.astype(out_w.dtype),
+                    db_out.astype(out_b.dtype), jnp.zeros_like(rope_freqs))
         N, S, D = x.shape
         T = n_frames
         B = N // T
@@ -364,6 +403,15 @@ def trainable_mlp_branch(dtype_name: str):
 
     def bwd(res, ct):
         x, shift, scale, g, w1, b1, w2, b2, h1, y = res
+        if use_pallas_bwd():
+            from gtax.kernels.backward import fused_mlp_branch_bwd
+
+            dx, dshift, dscale, dg, dW1, db1, dW2, db2 = (
+                fused_mlp_branch_bwd(x, shift, scale, g, w1, w2, h1, y, ct))
+            return (dx, dshift.astype(shift.dtype),
+                    dscale.astype(scale.dtype), dg.astype(g.dtype),
+                    dW1.astype(w1.dtype), db1.astype(b1.dtype),
+                    dW2.astype(w2.dtype), db2.astype(b2.dtype))
         ct32, dg, dy = _gate_bwd(ct, g, y)
 
         # fc2: y = gelu(h1) @ w2 + b2, with h1 the emitted pre-gelu fc1

@@ -54,6 +54,11 @@ class TrainingConfig:
     remat: bool = False                  # jax.checkpoint the DiT blocks
     mu_bf16: bool = False                # Adam first moment in bfloat16
     profile_dir: Optional[str] = None    # jax.profiler trace output
+    unstack_train: bool = True           # per-block weight pytrees + Python
+    #   block loop instead of lax.scan over stacked weights: no weight
+    #   slicing / stacked-grad dynamic-update-slice in the step HLO
+    #   (246 -> 198 ms at flagship B=8, docs/PERF.md round 3). Layout is
+    #   per-run: resuming an orbax checkpoint requires the same setting.
     validation_max_batches: int = 0      # 0: iterate the WHOLE val split
     #   (reference validation() walks the full loader, train_dit.py:711-744;
     #    set >0 to cap for quick sanity runs)

@@ -127,6 +127,15 @@ class Trainer:
             from gtax.models.dit import dit_init
 
             self.dit_params = dit_init(init_key, self.dit_cfg)
+        if config.unstack_train and not isinstance(
+                self.dit_params.get("blocks"), (tuple, list)):
+            # per-block weight layout: the step HLO then contains no weight
+            # slicing or stacked-grad accumulation (docs/PERF.md round 3);
+            # save_model restacks for the safetensors export
+            from gtax.models.dit import unstack_for_inference
+
+            self.dit_params = unstack_for_inference(self.dit_params,
+                                                    self.dit_cfg)
         self.vae_cfg = vae_cfg or VAE_MODELS[config.vae_model]()
         if vae_params is not None:
             self.vae_params = vae_params
@@ -625,7 +634,10 @@ class Trainer:
             f"{self.config.model_name}_epoch_{epoch + 1}_{self.global_step}"
             ".safetensors",
         )
-        port.save_dit(path, host_params, self.dit_cfg)
+        from gtax.models.dit import restack_params
+
+        port.save_dit(path, restack_params(host_params, self.dit_cfg),
+                      self.dit_cfg)
         logger.warning("Saved checkpoint to %s", path)
 
     def _ckpt_dir(self):

@@ -30,9 +30,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from gtax.utils.platform import honor_env_platform
+from gtax.utils.platform import enable_compile_cache, honor_env_platform
 
 honor_env_platform()  # an explicit JAX_PLATFORMS=cpu must win over axon
+enable_compile_cache()  # flagship train compiles are minutes; start warm
 
 
 def main():
@@ -57,6 +58,11 @@ def main():
     p.add_argument("--scan-unroll", type=int, default=1)
     p.add_argument("--mu-bf16", action="store_true",
                    help="store Adam's first moment in bfloat16")
+    p.add_argument("--accum", type=int, default=1,
+                   help="gradient-accumulation micro-steps per optimizer "
+                        "update (accum-as-scan, Trainer semantics): "
+                        "amortises the fixed AdamW HBM sweep over "
+                        "accum x batch FLOPs at B=8 memory")
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--backend", default="xla",
                    help="attention backend; 'fused'/'fused_all' use the "
@@ -113,14 +119,33 @@ def main():
             prm, cfg, x, t, a, valid, compute_dtype=dtype
         )
 
-    def step(params, opt_state, latents, actions, rng):
-        def loss_for(prm):
-            mean_loss, sum_loss = diffusion_forcing_loss(
-                dit_fn(prm), latents, actions, rng, loss_cfg, abar, noise_range
-            )
-            return sum_loss, mean_loss
+    accum = args.accum
 
-        (_, mean_loss), grads = jax.value_and_grad(loss_for, has_aux=True)(params)
+    def loss_for(prm, latents, actions, key):
+        mean_loss, sum_loss = diffusion_forcing_loss(
+            dit_fn(prm), latents, actions, key, loss_cfg, abar, noise_range
+        )
+        return sum_loss, mean_loss
+
+    grad_fn = jax.value_and_grad(loss_for, has_aux=True)
+
+    def step(params, opt_state, latents, actions, rng):
+        if accum == 1:
+            (_, mean_loss), grads = grad_fn(params, latents, actions, rng)
+        else:
+            # accum-as-scan (Trainer semantics): same micro batch re-fed —
+            # the FLOPs and memory behaviour match production accumulation
+            def micro(carry, key):
+                grads_acc, loss_acc = carry
+                (_, mean_loss), grads = grad_fn(params, latents, actions, key)
+                return (jax.tree.map(jnp.add, grads_acc, grads),
+                        loss_acc + mean_loss), None
+
+            zero = jax.tree.map(jnp.zeros_like, params)
+            (grads, loss_sum), _ = jax.lax.scan(
+                micro, (zero, 0.0), jax.random.split(rng, accum))
+            grads = jax.tree.map(lambda g: g / accum, grads)
+            mean_loss = loss_sum / accum
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, mean_loss
@@ -179,11 +204,12 @@ def main():
 
     mean_s = dt / args.steps
     n_gen = T - loss_cfg.n_prompt_frames
-    flops = 3.0 * dit_forward_flops(cfg, B, T) * n_gen
+    flops = 3.0 * dit_forward_flops(cfg, B, T) * n_gen * accum
     mfu = MFUCounter(flops, 1)
     result = {
         "params_m": round(n_params / 1e6, 1),
         "batch": B,
+        "accum": accum,
         "hidden": args.hidden,
         "depth": args.depth,
         "remat": args.remat,

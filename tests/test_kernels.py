@@ -465,3 +465,103 @@ def test_residual_backward_grad_parity_per_branch():
               heads, T, True, "float32")(*a, valid),
           lambda *a: br.xla_temporal_branch(*a[:8], valid, heads, T, f32),
           (x, sh, sc, g, qkv_w, out_w, out_b, rope_t), skip=(7,))
+
+
+@pytest.mark.parametrize("shape", [(10, 16, 64, 256), (40, 16, 64, 128)])
+def test_pallas_mlp_bwd_matches_xla_vjp(shape):
+    """The fused Pallas MLP-branch backward (gtax.kernels.backward) must
+    reproduce XLA autodiff through xla_mlp_branch — including the padded
+    frame-tile case (N=40: 2 tiles of 20 frames padded to 24) and the
+    weight-grad accumulation across tiles."""
+    from gtax.kernels.backward import fused_mlp_branch_bwd
+    from gtax.nn.branches import xla_mlp_branch
+
+    N, S, D, H = shape
+    r = np.random.default_rng(1)
+    x = jnp.asarray(r.normal(size=(N, S, D)), jnp.float32)
+    shift = jnp.asarray(r.normal(size=(N, D)), jnp.float32)
+    scale = jnp.asarray(r.normal(size=(N, D)) * 0.1, jnp.float32)
+    g = jnp.asarray(r.normal(size=(N, D)) * 0.5, jnp.float32)
+    w1 = jnp.asarray(r.normal(size=(D, H)) * 0.05, jnp.float32)
+    b1 = jnp.asarray(r.normal(size=(H,)) * 0.01, jnp.float32)
+    w2 = jnp.asarray(r.normal(size=(H, D)) * 0.05, jnp.float32)
+    b2 = jnp.asarray(r.normal(size=(D,)) * 0.01, jnp.float32)
+    ct = jnp.asarray(r.normal(size=(N, S, D)), jnp.float32)
+
+    out, vjp = jax.vjp(
+        lambda *a: xla_mlp_branch(*a, dtype=jnp.float32),
+        x, shift, scale, g, w1, b1, w2, b2)
+    ref = vjp(ct)
+
+    # residuals the kernel consumes (same math the fwd kernel emits)
+    from gtax.nn.layers import gelu_tanh, layer_norm, modulate
+    mod = modulate(layer_norm(x), shift, scale)
+    h1 = jnp.einsum("nsd,dh->nsh", mod, w1) + b1
+    y = jnp.einsum("nsh,hd->nsd", gelu_tanh(h1), w2) + b2
+
+    got = fused_mlp_branch_bwd(x, shift, scale, g, w1, w2, h1, y, ct)
+    names = ["dx", "dshift", "dscale", "dg", "dW1", "db1", "dW2", "db2"]
+    for name, a, b in zip(names, got, ref):
+        scale_ = max(1e-8, float(jnp.max(jnp.abs(b))))
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            atol=5e-5 * scale_, rtol=5e-4, err_msg=name)
+
+
+def test_pallas_attention_bwd_matches_xla_vjp():
+    """The fused Pallas spatial/temporal attention-branch backwards
+    (gtax.kernels.backward) must reproduce XLA autodiff through the
+    xla_* reference branches (multi-tile, valid-masked)."""
+    from gtax.kernels.backward import (fused_spatial_branch_bwd,
+                                       fused_temporal_branch_bwd)
+    from gtax.nn.branches import xla_spatial_branch, xla_temporal_branch
+    from gtax.kernels.block import fused_spatial_branch, fused_temporal_branch
+
+    r = np.random.default_rng(2)
+    B, T, S, D, nh = 2, 5, 16, 64, 4
+    N, d = B * T, D // nh
+    x = jnp.asarray(r.normal(size=(N, S, D)), jnp.float32)
+    shift = jnp.asarray(r.normal(size=(N, D)), jnp.float32)
+    scale = jnp.asarray(r.normal(size=(N, D)) * 0.1, jnp.float32)
+    g = jnp.asarray(r.normal(size=(N, D)) * 0.5, jnp.float32)
+    qkv_w = jnp.asarray(r.normal(size=(D, 3 * D)) * 0.05, jnp.float32)
+    out_w = jnp.asarray(r.normal(size=(D, D)) * 0.05, jnp.float32)
+    out_b = jnp.asarray(r.normal(size=(D,)) * 0.01, jnp.float32)
+    sfreqs = jnp.asarray(r.normal(size=(S, d)) * 0.3, jnp.float32)
+    tfreqs = jnp.asarray(r.normal(size=(T, d)) * 0.3, jnp.float32)
+    valid = jnp.asarray([False, True, True, True, True])
+    ct = jnp.asarray(r.normal(size=(N, S, D)), jnp.float32)
+
+    # spatial ------------------------------------------------------------
+    _, vjp = jax.vjp(
+        lambda *a: xla_spatial_branch(*a, num_heads=nh, dtype=jnp.float32),
+        x, shift, scale, g, qkv_w, out_w, out_b, sfreqs)
+    ref = vjp(ct)
+    _, qr, kr, vr, y = fused_spatial_branch(
+        x, shift, scale, g, qkv_w, out_w, out_b, sfreqs, nh, emit_train=True)
+    got = fused_spatial_branch_bwd(x, shift, scale, g, qkv_w, out_w, sfreqs,
+                                   qr, kr, vr, y, ct, num_heads=nh)
+    names = ["dx", "dshift", "dscale", "dg", "dW_qkv", "dW_out", "db_out"]
+    for name, a, b in zip(names, got, ref[:7]):
+        s = max(1e-8, float(jnp.max(jnp.abs(b))))
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            atol=1e-4 * s, rtol=5e-4, err_msg="spatial " + name)
+
+    # temporal (with validity mask) --------------------------------------
+    _, vjp = jax.vjp(
+        lambda *a: xla_temporal_branch(*a, valid, num_heads=nh, n_frames=T,
+                                       dtype=jnp.float32),
+        x, shift, scale, g, qkv_w, out_w, out_b, tfreqs)
+    ref = vjp(ct)
+    _, qr, kr, vr, y = fused_temporal_branch(
+        x, shift, scale, g, qkv_w, out_w, out_b, tfreqs, valid, nh, T,
+        emit_train=True)
+    got = fused_temporal_branch_bwd(x, shift, scale, g, qkv_w, out_w, tfreqs,
+                                    valid, qr, kr, vr, y, ct, num_heads=nh,
+                                    n_frames=T)
+    for name, a, b in zip(names, got, ref[:7]):
+        s = max(1e-8, float(jnp.max(jnp.abs(b))))
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            atol=1e-4 * s, rtol=5e-4, err_msg="temporal " + name)

@@ -117,6 +117,7 @@ def test_checkpoint_save_resume(tmp_path):
 
 def test_safetensors_export_loads_back(tmp_path):
     from gtax.io import safetensors_port as port
+    from gtax.models.dit import restack_params
 
     trainer, config = tiny_trainer(tmp_path)
     trainer.save_model(epoch=0)
@@ -124,8 +125,10 @@ def test_safetensors_export_loads_back(tmp_path):
         str(tmp_path), f"{config.model_name}_epoch_1_0.safetensors"
     )
     params = port.load_dit(path, TINY_DIT, verbose=False)
-    for a, b in zip(jax.tree.leaves(trainer.dit_params),
-                    jax.tree.leaves(params)):
+    # the trainer runs the unstacked per-block layout (unstack_train);
+    # exports are always the stacked reference layout
+    restacked = restack_params(trainer.dit_params, TINY_DIT)
+    for a, b in zip(jax.tree.leaves(restacked), jax.tree.leaves(params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
 
 
@@ -171,8 +174,10 @@ def test_tensor_parallel_mesh(tmp_path):
         vae_params=vae_init(key, TINY_VAE), mesh=mesh,
     )
     # verify some kernels actually sharded over 'model'
+    from jax.sharding import PartitionSpec
     specs = jax.tree.map(lambda s: s.spec, trainer.param_sharding)
-    flat = jax.tree.leaves(specs, is_leaf=lambda x: hasattr(x, "index"))
+    flat = jax.tree.leaves(specs,
+                           is_leaf=lambda x: isinstance(x, PartitionSpec))
     assert any("model" in (spec or ()) for spec in flat), flat
     b = dummy_batches(1, 4)[0]
     from gtax.data.loader import Batch
@@ -391,3 +396,21 @@ def test_full_val_split_and_step0_diagnostics(tmp_path, monkeypatch):
     n_eval["n"] = 0
     trainer.run_validation(val_loader)
     assert n_eval["n"] == 2, n_eval
+
+
+@pytest.mark.slow
+def test_unstack_train_matches_stacked(tmp_path):
+    """unstack_train=True (per-block weight pytrees, the round-3 default)
+    must produce the same losses as the stacked-scan layout — the layout is
+    a performance choice, not a math choice."""
+    from gtax.data.loader import Batch
+
+    b = dummy_batches(1, 2)[0]
+    batch = Batch(video=np.stack([b.video]), actions=np.stack([b.actions]))
+
+    def run(unstack):
+        trainer, _ = tiny_trainer(tmp_path / f"u{int(unstack)}",
+                                  unstack_train=unstack)
+        return [trainer.train_step(batch)["train_loss"] for _ in range(3)]
+
+    np.testing.assert_allclose(run(True), run(False), rtol=1e-6)
