@@ -63,6 +63,8 @@ def main(argv=None):
     state = ckptr.restore(state_dir)  # raw pytree (no template needed)
     params = state["params"]
     cfg = DiT_MODELS[args.dit_model]()
+    # unstack_train checkpoints hold per-block pytrees (a list after orbax
+    # restore); dit_to_torch restacks internally
     port.save_dit(args.out, params, cfg)
     n = sum(x.size for x in jax.tree.leaves(params))
     print(f"exported {n / 1e6:.1f}M params from {state_dir} to {args.out}")

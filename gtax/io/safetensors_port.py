@@ -170,7 +170,13 @@ def dit_from_torch(state: dict[str, np.ndarray], cfg: DiTConfig):
 
 
 def dit_to_torch(params, cfg: DiTConfig) -> dict[str, np.ndarray]:
-    """Inverse mapping: gtax DiT tree -> torch-layout state_dict arrays."""
+    """Inverse mapping: gtax DiT tree -> torch-layout state_dict arrays.
+    Accepts either block layout (stacked (depth, ...) arrays or the
+    unstack_train tuple of per-block pytrees — restacked here)."""
+    if isinstance(params.get("blocks"), (tuple, list)):
+        from gtax.models.dit import restack_params
+
+        params = restack_params(params, cfg)
     out: dict[str, np.ndarray] = {}
 
     def put(key, x):

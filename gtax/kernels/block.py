@@ -329,13 +329,18 @@ def _temporal_attention_core(q, k, v, cos, sin, R, seg, bias_ref, dtype,
 
 
 def _temporal_step_core(q, k, v, kctx, vctx, cos, sin, R, seg, bias_ref,
-                        dtype, num_heads, n_ctx, n_batches, seq_len):
-    """LAST-SLOT causal attention against cached context K/V (incremental
-    decoding): q/k/v are the last frame's rows (rope applied here at slot
-    position n_ctx); kctx/vctx are the post-rope context rows emitted by the
-    full kernel's kv_out during prefill. Same segment-sum score math, per-row
-    identical to the full core's last-slot output. bias_ref: the (T, T)
-    additive mask — row n_ctx is the last slot's key mask."""
+                        dtype, num_heads, n_ctx, n_batches, seq_len,
+                        n_live=1):
+    """LIVE-SLOT causal attention against cached context K/V (incremental
+    decoding): q/k/v are the n_live live frames' rows occupying window slots
+    n_ctx..n_ctx+n_live-1 (rope applied here at those slot positions);
+    kctx/vctx are the post-rope context rows emitted by the full kernel's
+    kv_out during prefill. Live frame i attends to every context frame plus
+    live frames 0..i (causal); same segment-sum score math, per-row identical
+    to the full core's output for those slots. bias_ref: the (T, T) additive
+    mask, T = n_ctx + n_live. n_live=1 is the exact-sampling incremental
+    path; n_live>1 serves pipelined rollouts whose P in-flight frames all
+    change per call while the context stays prefilled."""
     S = seq_len
     D = q.shape[-1]
     d = D // num_heads
@@ -345,43 +350,50 @@ def _temporal_step_core(q, k, v, kctx, vctx, cos, sin, R, seg, bias_ref,
     scale_attn = 1.0 / (d**0.5)
     out_rows = []
     for b in range(n_batches):
-        rows = slice(b * S, (b + 1) * S)
-        qb, kb, vb = q[rows], k[rows], v[rows]
+        def live_frame(i, arr, b=b):
+            base = (b * n_live + i) * S
+            return arr[base: base + S]
 
         def ctx_frame(j, arr, b=b):
             base = b * n_ctx * S
             return arr[base + j * S: base + (j + 1) * S]
 
-        scores = [
-            jnp.dot(
-                (qb * ctx_frame(j, kctx)).astype(dtype), seg,
-                preferred_element_type=jnp.float32,
-            ) * scale_attn + bias_ref[n_ctx, j]
-            for j in range(n_ctx)
-        ]
-        scores.append(
-            jnp.dot(
-                (qb * kb).astype(dtype), seg,
-                preferred_element_type=jnp.float32,
-            ) * scale_attn + bias_ref[n_ctx, n_ctx]
-        )
-        m = scores[0]
-        for s_ij in scores[1:]:
-            m = jnp.maximum(m, s_ij)
-        exps = [jnp.exp(s_ij - m) for s_ij in scores]
-        denom = exps[0]
-        for e in exps[1:]:
-            denom = denom + e
-        acc = None
-        for j, e in enumerate(exps):
-            probs = (e / denom).astype(dtype)
-            pexp = jnp.dot(
-                probs, seg.T, preferred_element_type=jnp.float32
-            ).astype(dtype)
-            term = pexp * (ctx_frame(j, vctx) if j < n_ctx else vb)
-            acc = term if acc is None else acc + term
-        out_rows.append(acc)
-    out = out_rows[0] if n_batches == 1 else jnp.concatenate(out_rows, axis=0)
+        for i in range(n_live):
+            qi = live_frame(i, q)
+            # keys in window-slot order: context 0..n_ctx-1, live 0..i
+            kv_pairs = [
+                (ctx_frame(j, kctx), ctx_frame(j, vctx), bias_ref[n_ctx + i, j])
+                for j in range(n_ctx)
+            ] + [
+                (live_frame(j, k), live_frame(j, v),
+                 bias_ref[n_ctx + i, n_ctx + j])
+                for j in range(i + 1)
+            ]
+            scores = [
+                jnp.dot(
+                    (qi * kj).astype(dtype), seg,
+                    preferred_element_type=jnp.float32,
+                ) * scale_attn + bj
+                for kj, _, bj in kv_pairs
+            ]
+            m = scores[0]
+            for s_ij in scores[1:]:
+                m = jnp.maximum(m, s_ij)
+            exps = [jnp.exp(s_ij - m) for s_ij in scores]
+            denom = exps[0]
+            for e in exps[1:]:
+                denom = denom + e
+            acc = None
+            for (_, vj, _), e in zip(kv_pairs, exps):
+                probs = (e / denom).astype(dtype)
+                pexp = jnp.dot(
+                    probs, seg.T, preferred_element_type=jnp.float32
+                ).astype(dtype)
+                term = pexp * vj
+                acc = term if acc is None else acc + term
+            out_rows.append(acc)
+    out = out_rows[0] if len(out_rows) == 1 else jnp.concatenate(
+        out_rows, axis=0)
     return out.astype(jnp.float32)
 
 
@@ -389,8 +401,8 @@ def _temporal_step_kernel(x_ref, shift_ref, scale_ref, gate_ref, qkvw_ref,
                           outw_ref, outb_ref, kctx_ref, vctx_ref, cos_ref,
                           sin_ref, rot_ref, seg_ref, bias_ref, o_ref, *,
                           num_heads, n_ctx, n_batches, seq_len, ln_eps,
-                          mod_eps):
-    """Fused incremental temporal branch (bf16): the last frame's rows only,
+                          mod_eps, n_live=1):
+    """Fused incremental temporal branch (bf16): the live frames' rows only,
     attending to cached context K/V."""
     x = x_ref[:]
     NS, D = x.shape
@@ -404,7 +416,7 @@ def _temporal_step_kernel(x_ref, shift_ref, scale_ref, gate_ref, qkvw_ref,
         _rows_from_frames(cos_ref[:], seq_len, x32.shape[0]),
         _rows_from_frames(sin_ref[:], seq_len, x32.shape[0]),
         rot_ref[:], seg_ref[:], bias_ref, x.dtype, num_heads, n_ctx,
-        n_batches, seq_len,
+        n_batches, seq_len, n_live=n_live,
     ).astype(x.dtype)
     y = jnp.dot(attn_out, outw_ref[:], preferred_element_type=jnp.float32)
     y = y + outb_ref[0].astype(jnp.float32)
@@ -413,31 +425,33 @@ def _temporal_step_kernel(x_ref, shift_ref, scale_ref, gate_ref, qkvw_ref,
     o_ref[:] = (x32 + g * y).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "n_ctx"))
+@functools.partial(jax.jit, static_argnames=("num_heads", "n_ctx", "n_live"))
 def fused_temporal_step(x, shift, scale, gate, qkv_w, out_w, out_b, k_ctx,
-                        v_ctx, rope_freqs, valid, num_heads, n_ctx):
-    """Incremental temporal branch: x (B, S, D) = last-frame tokens;
+                        v_ctx, rope_freqs, valid, num_heads, n_ctx, n_live=1):
+    """Incremental temporal branch: x (B*n_live, S, D) = live-frame tokens
+    at window slots n_ctx..n_ctx+n_live-1, frame-major within batch;
     k_ctx/v_ctx (B*n_ctx*S, D) post-rope cache (fused_temporal_branch
-    emit_kv=True); rope_freqs (T, d) with T = n_ctx + 1; valid (T,) or None.
-    Returns x + gate * CausalAttention_lastslot(modulate(LN(x)))."""
-    B, S, D = x.shape
-    T = n_ctx + 1
+    emit_kv=True); rope_freqs (T, d) with T = n_ctx + n_live; valid (T,) or
+    None. Returns x + gate * CausalAttention_liveslots(modulate(LN(x)))."""
+    N, S, D = x.shape
+    B = N // n_live
+    T = n_ctx + n_live
     d = D // num_heads
     _, _, R, seg, bias = temporal_preamble(
         rope_freqs, valid, B, S, T, num_heads, d, x.dtype
     )
     cos_t = jnp.cos(rope_freqs.astype(jnp.float32))
     sin_t = jnp.sin(rope_freqs.astype(jnp.float32))
-    # per-batch (B, D) last-slot tables; the kernel broadcasts to token rows
-    cos = jnp.tile(cos_t[T - 1:T], (B, num_heads))
-    sin = jnp.tile(sin_t[T - 1:T], (B, num_heads))
-    xf = x.reshape(B * S, D)
+    # per-live-frame (N, D) slot tables; the kernel broadcasts to token rows
+    cos = jnp.tile(cos_t[n_ctx:T], (B, num_heads))
+    sin = jnp.tile(sin_t[n_ctx:T], (B, num_heads))
+    xf = x.reshape(N * S, D)
     out_b = out_b.reshape(1, -1)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(
             _temporal_step_kernel, num_heads=num_heads, n_ctx=n_ctx,
-            n_batches=B, seq_len=S, ln_eps=1e-6, mod_eps=1e-6,
+            n_batches=B, seq_len=S, ln_eps=1e-6, mod_eps=1e-6, n_live=n_live,
         ),
         out_shape=jax.ShapeDtypeStruct(xf.shape, x.dtype),
         in_specs=[full] * 13 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
@@ -448,7 +462,7 @@ def fused_temporal_step(x, shift, scale, gate, qkv_w, out_w, out_b, k_ctx,
         ),
     )(xf, shift, scale, gate, qkv_w, out_w, out_b, k_ctx, v_ctx, cos, sin,
       R, seg, bias)
-    return out.reshape(B, S, D)
+    return out.reshape(N, S, D)
 
 
 def temporal_preamble(rope_freqs, valid, B, S, T, num_heads, d, dtype):

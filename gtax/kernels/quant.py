@@ -141,9 +141,9 @@ def _temporal_step_kernel_q(x_ref, shift_ref, scale_ref, gate_ref, qkvq_ref,
                             qkvs_ref, outq_ref, outs_ref, outb_ref, kctx_ref,
                             vctx_ref, cos_ref, sin_ref, rot_ref, seg_ref,
                             bias_ref, o_ref, *, num_heads, n_ctx, n_batches,
-                            seq_len, ln_eps, mod_eps):
+                            seq_len, ln_eps, mod_eps, n_live=1):
     """W8A8 twin of gtax.kernels.block._temporal_step_kernel (incremental
-    decoding: last-frame rows against cached context K/V)."""
+    decoding: live-frame rows against cached context K/V)."""
     x = x_ref[:]
     NS, D = x.shape
     x32, mod = _ln_modulate32(x_ref, shift_ref, scale_ref, ln_eps, mod_eps,
@@ -155,7 +155,7 @@ def _temporal_step_kernel_q(x_ref, shift_ref, scale_ref, gate_ref, qkvq_ref,
         _rows_from_frames(cos_ref[:], seq_len, x32.shape[0]),
         _rows_from_frames(sin_ref[:], seq_len, x32.shape[0]),
         rot_ref[:], seg_ref[:], bias_ref, x.dtype, num_heads, n_ctx,
-        n_batches, seq_len,
+        n_batches, seq_len, n_live=n_live,
     )
     y = _qdot(attn_out, outq_ref, outs_ref)
     y = y + outb_ref[0].astype(jnp.float32)
@@ -164,29 +164,31 @@ def _temporal_step_kernel_q(x_ref, shift_ref, scale_ref, gate_ref, qkvq_ref,
     o_ref[:] = (x32 + g * y).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "n_ctx"))
+@functools.partial(jax.jit,
+                   static_argnames=("num_heads", "n_ctx", "n_live"))
 def fused_temporal_step_q(x, shift, scale, gate, qkv_q, qkv_s, out_q, out_s,
                           out_b, k_ctx, v_ctx, rope_freqs, valid, num_heads,
-                          n_ctx):
+                          n_ctx, n_live=1):
     """int8 twin of gtax.kernels.block.fused_temporal_step."""
-    B, S, D = x.shape
-    T = n_ctx + 1
+    N, S, D = x.shape
+    B = N // n_live
+    T = n_ctx + n_live
     d = D // num_heads
     _, _, R, seg, bias = temporal_preamble(
         rope_freqs, valid, B, S, T, num_heads, d, x.dtype
     )
     cos_t = jnp.cos(rope_freqs.astype(jnp.float32))
     sin_t = jnp.sin(rope_freqs.astype(jnp.float32))
-    # per-batch (B, D) last-slot tables; the kernel broadcasts to token rows
-    cos = jnp.tile(cos_t[T - 1:T], (B, num_heads))
-    sin = jnp.tile(sin_t[T - 1:T], (B, num_heads))
-    xf = x.reshape(B * S, D)
+    # per-live-frame (N, D) slot tables; the kernel broadcasts to token rows
+    cos = jnp.tile(cos_t[n_ctx:T], (B, num_heads))
+    sin = jnp.tile(sin_t[n_ctx:T], (B, num_heads))
+    xf = x.reshape(N * S, D)
     out_b = out_b.reshape(1, -1)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(
             _temporal_step_kernel_q, num_heads=num_heads, n_ctx=n_ctx,
-            n_batches=B, seq_len=S, ln_eps=1e-6, mod_eps=1e-6,
+            n_batches=B, seq_len=S, ln_eps=1e-6, mod_eps=1e-6, n_live=n_live,
         ),
         out_shape=jax.ShapeDtypeStruct(xf.shape, x.dtype),
         in_specs=[full] * 15 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
@@ -197,7 +199,7 @@ def fused_temporal_step_q(x, shift, scale, gate, qkv_q, qkv_s, out_q, out_s,
         ),
     )(xf, shift, scale, gate, qkv_q, qkv_s.reshape(1, -1), out_q,
       out_s.reshape(1, -1), out_b, k_ctx, v_ctx, cos, sin, R, seg, bias)
-    return out.reshape(B, S, D)
+    return out.reshape(N, S, D)
 
 
 def _mlp_kernel_q(x_ref, shift_ref, scale_ref, gate_ref, w1q_ref, w1s_ref,

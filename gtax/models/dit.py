@@ -890,24 +890,28 @@ def dit_prefill(params, cfg: DiTConfig, x_ctx, mods, valid_ctx,
 
 def dit_apply_step(params, cfg: DiTConfig, x_last, kv_cache, mods, valid,
                    compute_dtype=jnp.bfloat16):
-    """Incremental DiT forward: ONLY the window's last frame through the
+    """Incremental DiT forward: ONLY the window's live frame(s) through the
     stack, temporal attention reading the prefilled context K/V.
 
-    x_last: (B, 1, C, H, W); kv_cache: dit_prefill output; mods: dit_cond
-    output for the last row ((B, 1, ...) leaves); valid: (T,) bool or None
-    (full-window mask; the last slot is always valid).
-    Returns the v-prediction for the last frame, (B, 1, C, H, W) float32 —
-    per-row identical to dit_apply's last-frame output."""
-    B = x_last.shape[0]
+    x_last: (B, Tl, C, H, W) — the window's LAST Tl slots (Tl=1 on the exact
+    sampling path; Tl=pipeline_depth for pipelined rollouts whose in-flight
+    frames all change per call while the first max_frames-Tl slots stay
+    prefilled); kv_cache: dit_prefill output over those context slots; mods:
+    dit_cond output for the live rows ((B, Tl, ...) leaves); valid: (T,) bool
+    or None (full-window mask).
+    Returns the v-prediction for the live frames, (B, Tl, C, H, W) float32 —
+    per-row identical to dit_apply's output for those slots."""
+    B, Tl = x_last.shape[:2]
     C, H, W = x_last.shape[2:]
     gh, gw = cfg.grid_h, cfg.grid_w
     S = gh * gw
     D = cfg.hidden_size
     T = cfg.max_frames
+    n_ctx = T - Tl
     h = patchify_embed(
-        params["patch_embed"], x_last.reshape(B, C, H, W), cfg.patch_size,
-        compute_dtype,
-    ).reshape(B, S, D)
+        params["patch_embed"], x_last.reshape(B * Tl, C, H, W),
+        cfg.patch_size, compute_dtype,
+    ).reshape(B * Tl, S, D)
     spatial_freqs = rope.axial_freqs(
         jax.lax.stop_gradient(params["spatial_rope_freqs"]), (gh, gw),
         pixel=True,
@@ -915,10 +919,11 @@ def dit_apply_step(params, cfg: DiTConfig, x_last, kv_cache, mods, valid,
     temporal_freqs = rope.temporal_rope_freqs(
         jnp.arange(T), jax.lax.stop_gradient(params["temporal_rope_freqs"])
     )
+    rows = B * Tl
     for i, bp in enumerate(params["blocks"]):
         m = mods["blocks"][i]
-        sh1, sc1, g1, sh2, sc2, g2 = _split6(m["s"], B, D)
-        th1, tc1, tg1, th2, tc2, tg2 = _split6(m["t"], B, D)
+        sh1, sc1, g1, sh2, sc2, g2 = _split6(m["s"], rows, D)
+        th1, tc1, tg1, th2, tc2, tg2 = _split6(m["t"], rows, D)
         h = _spatial_branch_call(bp["s_attn"], h, sh1, sc1, g1,
                                  spatial_freqs, cfg.num_heads, compute_dtype)
         h = _mlp_branch_call(bp["s_mlp"], h, sh2, sc2, g2, compute_dtype)
@@ -930,7 +935,8 @@ def dit_apply_step(params, cfg: DiTConfig, x_last, kv_cache, mods, valid,
             h = fused_temporal_step_q(
                 h, th1, tc1, tg1, ap["qkv"]["kernel_q"], ap["qkv"]["scale"],
                 ap["out"]["kernel_q"], ap["out"]["scale"], ap["out"]["bias"],
-                k_ctx, v_ctx, temporal_freqs, valid, cfg.num_heads, T - 1,
+                k_ctx, v_ctx, temporal_freqs, valid, cfg.num_heads, n_ctx,
+                n_live=Tl,
             )
         else:
             from gtax.kernels.block import fused_temporal_step
@@ -938,11 +944,12 @@ def dit_apply_step(params, cfg: DiTConfig, x_last, kv_cache, mods, valid,
             h = fused_temporal_step(
                 h, th1, tc1, tg1, ap["qkv"]["kernel"].astype(compute_dtype),
                 ap["out"]["kernel"].astype(compute_dtype), ap["out"]["bias"],
-                k_ctx, v_ctx, temporal_freqs, valid, cfg.num_heads, T - 1,
+                k_ctx, v_ctx, temporal_freqs, valid, cfg.num_heads, n_ctx,
+                n_live=Tl,
             )
         h = _mlp_branch_call(bp["t_mlp"], h, th2, tc2, tg2, compute_dtype)
-    h = h.reshape(B, 1, gh, gw, D)
-    return _dit_head(params, cfg, h, None, B, 1, gh, gw, compute_dtype,
+    h = h.reshape(B, Tl, gh, gw, D)
+    return _dit_head(params, cfg, h, None, B, Tl, gh, gw, compute_dtype,
                      final_mods=mods["final"])
 
 
@@ -973,7 +980,13 @@ def unstack_for_inference(params, cfg: DiTConfig):
     for TRAINING — the scan's stacked-grad dynamic-update-slice accumulation
     and weight slicing cost ~45 ms of a 246 ms step at flagship B=8
     (docs/PERF.md round-3 profile; config key `unstack_train`); grads and
-    optax updates flow through the tuple-of-dicts layout unchanged."""
+    optax updates flow through the tuple-of-dicts layout unchanged.
+
+    No-op if already unstacked (unstack_train checkpoints/params)."""
+    if isinstance(params.get("blocks"), (tuple, list)):
+        assert len(params["blocks"]) == cfg.depth, (
+            len(params["blocks"]), cfg.depth)
+        return params
     out = dict(params)
     out["blocks"] = tuple(
         jax.tree.map(lambda a, i=i: a[i], params["blocks"])

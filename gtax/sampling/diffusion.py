@@ -437,7 +437,8 @@ def renoise_last_frame(
 
 
 def make_pipelined_rollout(dit_fn, max_frames: int, cfg: SamplerConfig,
-                           pipeline_depth: int = 4, pab=None):
+                           pipeline_depth: int = 4, pab=None, cond=None,
+                           incremental=None):
     """Pyramid-pipelined autoregressive rollout: up to `pipeline_depth` frames
     are in flight simultaneously at staggered noise levels, so each DiT call
     advances P frames by one DDIM step instead of one — ~P times fewer model
@@ -461,6 +462,19 @@ def make_pipelined_rollout(dit_fn, max_frames: int, cfg: SamplerConfig,
     first and last inner calls always recompute. Composes multiplicatively
     with pipelining.
 
+    cond + incremental: the conditioning cache and incremental-decoding fns
+    (gtax.models.dit.make_cond_fns / make_incremental_fns — same contracts
+    as make_rollout). The context slots are FIXED within a cycle's `stride`
+    inner calls (their latents, actions, and stabilization-level adaLN rows
+    don't change), so each cycle prefills the n_ctx_slots context rows ONCE
+    (per-block temporal K/V cache) and every inner call computes only the P
+    in-flight rows — dit_apply_step with Tl=P live slots. All in-flight
+    adaLN rows for the cycle are precomputed in one dit_cond batch and fed
+    as scan xs. Per-call v for the in-flight rows is kernel-for-kernel
+    identical to the full-window path's, so the trajectory is unchanged.
+    Mutually exclusive with pab (the attention-broadcast cache holds
+    full-window deltas).
+
     Returns rollout(params, prompt_latents, actions, rng, num_gen_frames).
     """
     abar, noise_range = cfg.tables()
@@ -469,6 +483,11 @@ def make_pipelined_rollout(dit_fn, max_frames: int, cfg: SamplerConfig,
     # at least one clean-context slot must remain (P == W would leave the
     # window with no emitted/prompt context at all)
     assert 1 <= P <= W - 1, (P, W)
+    assert incremental is None or cond is not None, (
+        "incremental pipelined decoding requires the conditioning cache")
+    assert incremental is None or pab is None or cfg.attn_broadcast <= 1, (
+        "incremental pipelined decoding and attention broadcast are "
+        "mutually exclusive")
     steps = cfg.ddim_noise_steps
     stride = -(-(steps + 1) // P)  # ceil: calls per emitted frame
     n_ctx_slots = W - P
@@ -560,10 +579,46 @@ def make_pipelined_rollout(dit_fn, max_frames: int, cfg: SamplerConfig,
             valid = jnp.concatenate([ctx_valid_win, active])
 
             use_pab = pab is not None and cfg.attn_broadcast > 1
+            use_inc = incremental is not None
+
+            if use_inc:
+                cond_fn = cond[0]
+                prefill_fn, step_fn = incremental[0], incremental[1]
+                # context rows are cycle-invariant: prefill their per-block
+                # temporal K/V once (stabilization-level adaLN rows included)
+                t_ctx_rows = jnp.full((B, n_ctx_slots),
+                                      cfg.stabilization_level, jnp.int32)
+                a_ctx = None if awin is None else awin[:, :n_ctx_slots]
+                mods_ctx = cond_fn(params, t_ctx_rows, a_ctx)
+                kv = prefill_fn(params, ctx_win, mods_ctx, ctx_valid_win)
+                # every inner call's in-flight adaLN rows in ONE cond batch,
+                # gathered as scan xs (noise levels are call-indexed, actions
+                # are cycle-fixed)
+                ps = jnp.arange(stride - 1, -1, -1)
+                raw_all = slot_ids[None, :] * stride + ps[:, None]
+                t_all = noise_range[
+                    jnp.clip(raw_all, 0, steps)
+                ].astype(jnp.int32)  # (stride, P)
+                t_flat = jnp.broadcast_to(
+                    t_all[:, None, :], (stride, B, P)
+                ).reshape(stride * B, P)
+                if awin is not None:
+                    a_live = jnp.broadcast_to(
+                        awin[None, :, n_ctx_slots:, :],
+                        (stride, B, P, awin.shape[-1]),
+                    ).reshape(stride * B, P, awin.shape[-1])
+                else:
+                    a_live = None
+                mods_live = jax.tree.map(
+                    lambda m: m.reshape((stride, B) + m.shape[1:]),
+                    cond_fn(params, t_flat, a_live),
+                )
+            else:
+                mods_live = jnp.zeros((stride,), jnp.float32)  # unused xs
 
             def call(carry2, p_k):
                 inflight2, cache = carry2
-                p, k_iter = p_k
+                p, k_iter, m_p = p_k
                 raw = slot_ids * stride + p
                 # a slot whose raw index overshoots the schedule top has not
                 # started denoising this cycle: it idles at pure noise (the
@@ -572,39 +627,45 @@ def make_pipelined_rollout(dit_fn, max_frames: int, cfg: SamplerConfig,
                 started = raw <= steps
                 idxs = jnp.clip(raw, 0, steps)
                 t_infl = noise_range[idxs]  # (P,)
-                t = jnp.concatenate(
-                    [
-                        jnp.full((B, n_ctx_slots), cfg.stabilization_level,
-                                 jnp.int32),
-                        jnp.broadcast_to(t_infl[None, :], (B, P)).astype(
-                            jnp.int32
-                        ),
-                    ],
-                    axis=1,
-                )
-                window = jnp.concatenate([ctx_win, inflight2], axis=1)
-                if use_pab:
-                    collect_fn, reuse_fn, _ = pab
-
-                    def fresh(window, t, cache):
-                        return collect_fn(params, window, t, awin, valid)
-
-                    def stale(window, t, cache):
-                        return (
-                            reuse_fn(params, window, t, awin, valid, cache),
-                            cache,
-                        )
-
-                    recompute = jnp.logical_or(
-                        k_iter % cfg.attn_broadcast == 0,
-                        k_iter == stride - 1,
-                    )
-                    v, cache = jax.lax.cond(recompute, fresh, stale,
-                                            window, t, cache)
-                    v = v.astype(jnp.float32)
+                if use_inc:
+                    v_infl = step_fn(params, inflight2, kv, m_p,
+                                     valid).astype(jnp.float32)
                 else:
-                    v = bound_dit(window, t, awin, valid).astype(jnp.float32)
-                v_infl = v[:, n_ctx_slots:]
+                    t = jnp.concatenate(
+                        [
+                            jnp.full((B, n_ctx_slots),
+                                     cfg.stabilization_level, jnp.int32),
+                            jnp.broadcast_to(t_infl[None, :], (B, P)).astype(
+                                jnp.int32
+                            ),
+                        ],
+                        axis=1,
+                    )
+                    window = jnp.concatenate([ctx_win, inflight2], axis=1)
+                    if use_pab:
+                        collect_fn, reuse_fn, _ = pab
+
+                        def fresh(window, t, cache):
+                            return collect_fn(params, window, t, awin, valid)
+
+                        def stale(window, t, cache):
+                            return (
+                                reuse_fn(params, window, t, awin, valid,
+                                         cache),
+                                cache,
+                            )
+
+                        recompute = jnp.logical_or(
+                            k_iter % cfg.attn_broadcast == 0,
+                            k_iter == stride - 1,
+                        )
+                        v, cache = jax.lax.cond(recompute, fresh, stale,
+                                                window, t, cache)
+                        v = v.astype(jnp.float32)
+                    else:
+                        v = bound_dit(window, t, awin,
+                                      valid).astype(jnp.float32)
+                    v_infl = v[:, n_ctx_slots:]
                 a_t = abar[t_infl][None, :, None, None, None]
                 x = inflight2.astype(jnp.float32)
                 x_start = jnp.sqrt(a_t) * x - jnp.sqrt(1 - a_t) * v_infl
@@ -625,7 +686,8 @@ def make_pipelined_rollout(dit_fn, max_frames: int, cfg: SamplerConfig,
             )
             (inflight, _), _ = jax.lax.scan(
                 call, (inflight, cache0),
-                (jnp.arange(stride - 1, -1, -1), jnp.arange(stride)),
+                (jnp.arange(stride - 1, -1, -1), jnp.arange(stride),
+                 mods_live),
             )
             emitted = inflight[:, 0]
             # emitted frames only become context once real (post warm-up)

@@ -123,9 +123,21 @@ class VideoGenerator:
         if cfg.pipeline_depth > 1:
             from gtax.sampling.diffusion import make_pipelined_rollout
 
+            cond = incremental = None
+            if (cfg.attn_broadcast == 1 and cfg.unstack and cfg.cond_cache
+                    and cfg.incremental and self._mesh is None
+                    and self._backend in ("fused", "fused_all")):
+                from gtax.models.dit import (make_cond_fns,
+                                             make_incremental_fns)
+
+                # per-cycle context prefill + P-live-frame steps: the two
+                # biggest serving levers composed (docs/PERF.md round 3)
+                cond = make_cond_fns(self.dit_cfg, dtype)
+                incremental = make_incremental_fns(self.dit_cfg, dtype)
             self._rollout = make_pipelined_rollout(
                 dit_fn, self.dit_cfg.max_frames, sampler,
-                pipeline_depth=cfg.pipeline_depth, pab=pab)
+                pipeline_depth=cfg.pipeline_depth, pab=pab, cond=cond,
+                incremental=incremental)
         else:
             cond = incremental = None
             if (cfg.attn_broadcast == 1 and cfg.unstack and cfg.cond_cache

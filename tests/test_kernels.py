@@ -565,3 +565,61 @@ def test_pallas_attention_bwd_matches_xla_vjp():
         np.testing.assert_allclose(
             np.asarray(a, np.float32), np.asarray(b, np.float32),
             atol=1e-4 * s, rtol=5e-4, err_msg="temporal " + name)
+
+
+@pytest.mark.parametrize("quant", [False, True])
+@pytest.mark.parametrize("n_live,B", [(1, 2), (2, 1), (4, 2)])
+def test_temporal_step_n_live_matches_full(n_live, B, quant):
+    """fused_temporal_step with n_live live frames against cached context
+    K/V reproduces the full fused_temporal_branch output for those window
+    slots — the kernel contract behind incremental pipelined decoding
+    (reference workload: generate.py:200-235 at pipeline depth n_live)."""
+    from gtax.kernels.block import fused_temporal_branch, fused_temporal_step
+
+    T, S, D, heads = 5, 8, 32, 2
+    n_ctx = T - n_live
+    key = jax.random.PRNGKey(11)
+    ks = jax.random.split(key, 6)
+    x = jax.random.normal(ks[0], (B * T, S, D), jnp.float32)
+    shift = jax.random.normal(ks[1], (B * T, D), jnp.float32) * 0.1
+    scale = jax.random.normal(ks[2], (B * T, D), jnp.float32) * 0.1
+    gate = jax.random.normal(ks[3], (B * T, D), jnp.float32)
+    qkv_w = jax.random.normal(ks[4], (D, 3 * D), jnp.float32) * 0.05
+    out_w = jax.random.normal(ks[5], (D, D), jnp.float32) * 0.05
+    out_b = jnp.zeros((D,), jnp.float32)
+    freqs = jnp.arange(T, dtype=jnp.float32)[:, None] * jnp.linspace(
+        0.1, 1.0, D // heads)[None, :]
+    valid = jnp.asarray([False, True, True, True, True])
+
+    if quant:
+        from gtax.kernels.quant import (fused_temporal_branch_q,
+                                        fused_temporal_step_q, quantize_weight)
+
+        qkv_q, qkv_s = quantize_weight(qkv_w)
+        out_q, out_s = quantize_weight(out_w)
+        full, kk, vv = fused_temporal_branch_q(
+            x, shift, scale, gate, qkv_q, qkv_s, out_q, out_s, out_b, freqs,
+            valid, heads, T, emit_kv=True)
+    else:
+        full, kk, vv = fused_temporal_branch(
+            x, shift, scale, gate, qkv_w, out_w, out_b, freqs, valid, heads,
+            T, emit_kv=True)
+
+    def live_rows(a):
+        return a.reshape((B, T) + a.shape[1:])[:, n_ctx:].reshape(
+            (B * n_live,) + a.shape[1:])
+
+    k_ctx = kk.reshape(B, T, S, D)[:, :n_ctx].reshape(B * n_ctx * S, D)
+    v_ctx = vv.reshape(B, T, S, D)[:, :n_ctx].reshape(B * n_ctx * S, D)
+    if quant:
+        step = fused_temporal_step_q(
+            live_rows(x), live_rows(shift), live_rows(scale),
+            live_rows(gate), qkv_q, qkv_s, out_q, out_s, out_b, k_ctx, v_ctx,
+            freqs, valid, heads, n_ctx, n_live=n_live)
+    else:
+        step = fused_temporal_step(
+            live_rows(x), live_rows(shift), live_rows(scale),
+            live_rows(gate), qkv_w, out_w, out_b, k_ctx, v_ctx, freqs, valid,
+            heads, n_ctx, n_live=n_live)
+    want = full.reshape(B, T, S, D)[:, n_ctx:].reshape(B * n_live, S, D)
+    assert_close(step, want, atol=2e-5, rtol=1e-4)

@@ -185,3 +185,44 @@ def test_overshoot_slots_idle_at_pure_noise():
     # while cycle 1's OLDER in-flight slot (raw=1 -> started, holding cycle
     # 0's denoised noise) does change between the two calls
     assert not np.array_equal(records[2][0, 1], records[3][0, 1])
+
+
+@pytest.mark.parametrize("depth,batch", [(1, 1), (2, 2), (4, 1)])
+def test_pipelined_incremental_matches_full(dit_small_params, depth, batch):
+    """cond+incremental pipelined rollout (per-cycle context prefill +
+    P-live-frame steps, dit_apply_step Tl=P) reproduces the plain pipelined
+    trajectory — the composition of the two biggest serving levers
+    (VERDICT r2 next-#4). Depth 1 additionally must match the exact
+    incremental make_rollout path (same scheme)."""
+    from gtax.models.dit import (make_cond_fns, make_incremental_fns,
+                                 unstack_for_inference)
+    from gtax.nn import attention as nnattn
+    from tests.test_models_parity import DIT_SMALL
+
+    unstacked = unstack_for_inference(dit_small_params, DIT_SMALL)
+    cfg = sd.SamplerConfig(ddim_noise_steps=4, stabilization_level=15)
+    B, C, H, W = batch, 16, 18, 32
+    prompt = jax.random.normal(jax.random.PRNGKey(1), (B, 4, C, H, W)) * 0.1
+    actions = jax.random.normal(jax.random.PRNGKey(2), (B, 12, 25))
+    key = jax.random.PRNGKey(7)
+    cond = make_cond_fns(DIT_SMALL, jnp.float32)
+    inc = make_incremental_fns(DIT_SMALL, jnp.float32)
+    nnattn.set_backend("fused")
+    try:
+        plain = sd.make_pipelined_rollout(
+            dit_fn_p, 5, cfg, pipeline_depth=depth)(
+            unstacked, prompt, actions, key, num_gen_frames=6)
+        fast = sd.make_pipelined_rollout(
+            dit_fn_p, 5, cfg, pipeline_depth=depth, cond=cond,
+            incremental=inc)(
+            unstacked, prompt, actions, key, num_gen_frames=6)
+        if depth == 1:
+            exact = sd.make_rollout(dit_fn_p, 5, cfg, cond=cond,
+                                    incremental=inc)(
+                unstacked, prompt, actions, key, num_gen_frames=6)
+            np.testing.assert_allclose(np.asarray(fast), np.asarray(exact),
+                                       atol=2e-4, rtol=1e-4)
+    finally:
+        nnattn.set_backend("xla")
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(plain),
+                               atol=2e-4, rtol=1e-4)
