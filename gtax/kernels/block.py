@@ -471,8 +471,8 @@ def temporal_preamble(rope_freqs, valid, B, S, T, num_heads, d, dtype):
     rotate-half permutation R, the head-indicator segment matrix seg, and
     the additive causal+validity bias (always-open diagonal for padded
     queries). PARITY-CRITICAL mask math — one implementation serves the
-    trainable, scalar-prefetch, and whole-stack kernels so the three paths
-    can never drift."""
+    trainable full-window and incremental-step kernels (bf16 and int8) so
+    the paths can never drift."""
     del S  # tables are per-FRAME; kernels broadcast to token rows in-VMEM
     cos_t = jnp.cos(rope_freqs.astype(jnp.float32))  # (T, d)
     sin_t = jnp.sin(rope_freqs.astype(jnp.float32))
@@ -649,61 +649,6 @@ def fused_mlp_branch(x, shift, scale, gate, w1, b1, w2, b2,
     return out.reshape(N, S, D)
 
 
-class _Squeeze0:
-    """Adapts a (1, ...) leading-block-dim weight ref (stacked-weight variants
-    below) to look like the unstacked (…,) ref the shared kernel bodies read
-    with `ref[:]`."""
-
-    def __init__(self, ref):
-        self._ref = ref
-
-    def __getitem__(self, idx):
-        assert idx == slice(None), "stacked weight refs are read whole"
-        return self._ref[0]
-
-
-def _kernel_pf(idx_ref, x_ref, shift_ref, scale_ref, gate_ref, qkvw_ref,
-               outw_ref, outb_ref, cos_ref, sin_ref, rot_ref, o_ref, **kw):
-    del idx_ref  # consumed by the index_maps only
-    _kernel(x_ref, shift_ref, scale_ref, gate_ref, _Squeeze0(qkvw_ref),
-            _Squeeze0(outw_ref), outb_ref, cos_ref, sin_ref, rot_ref, o_ref,
-            **kw)
-
-
-def _temporal_kernel_pf(idx_ref, x_ref, shift_ref, scale_ref, gate_ref,
-                        qkvw_ref, outw_ref, outb_ref, cos_ref, sin_ref,
-                        rot_ref, seg_ref, bias_ref, o_ref, **kw):
-    del idx_ref
-    _temporal_kernel(x_ref, shift_ref, scale_ref, gate_ref,
-                     _Squeeze0(qkvw_ref), _Squeeze0(outw_ref), outb_ref,
-                     cos_ref, sin_ref, rot_ref, seg_ref, bias_ref, o_ref,
-                     **kw)
-
-
-def _mlp_kernel_pf(idx_ref, x_ref, shift_ref, scale_ref, gate_ref, w1_ref,
-                   b1_ref, w2_ref, b2_ref, o_ref, **kw):
-    del idx_ref
-    _mlp_kernel(x_ref, shift_ref, scale_ref, gate_ref, _Squeeze0(w1_ref),
-                b1_ref, _Squeeze0(w2_ref), b2_ref, o_ref, **kw)
-
-
-def _blk_spec(a):
-    """BlockSpec selecting stacked-weight block [i] via the prefetched
-    scalar: the Pallas pipeline DMAs that slice HBM->VMEM directly, so XLA
-    never materialises an HBM->HBM copy of the per-block weights (the
-    dynamic-slice copies cost ~1.2 ms/forward in the scanned flagship —
-    docs/PERF.md)."""
-    zeros = (0,) * (a.ndim - 1)
-    return pl.BlockSpec((1,) + a.shape[1:],
-                        lambda c, i, z=zeros: (i[0],) + z,
-                        memory_space=pltpu.VMEM)
-
-
-def _full_spec(a):
-    return pl.BlockSpec(a.shape, lambda c, i: (0,) * a.ndim,
-                        memory_space=pltpu.VMEM)
-
-
 def _frames_per_tile(n_frames: int, seq_len: int, max_rows: int = 768) -> int:
     """Largest divisor of n_frames whose tile stays within the VMEM budget
     proven by the inference shapes (~720 rows). Training batches (N*S in the
@@ -773,161 +718,4 @@ def fused_spatial_branch(x, shift, scale, gate, qkv_w, out_w, out_b,
     )(xf, shift, scale, gate, qkv_w, out_w, out_b, cos, sin, R)
     if emit_train:
         return tuple(a.reshape(N, S, D) for a in out)
-    return out.reshape(N, S, D)
-
-
-# ------------------------------------------- stacked-weight (scan) variants
-#
-# Inference path for the scanned DiT stack: weights keep their stacked
-# (depth, ...) layout and the per-block slice is selected INSIDE the Pallas
-# pipeline via scalar prefetch (block_idx), so the scan body contains no XLA
-# dynamic-slice of weights feeding a custom call (those materialise HBM->HBM
-# copies). Forward-only: training uses the unstacked functions via
-# gtax.nn.branches custom_vjp wrappers.
-
-
-@functools.partial(jax.jit, static_argnames=("num_heads",))
-def fused_spatial_branch_stacked(x, shift, scale, gate, qkv_w, out_w, out_b,
-                                 rope_freqs, block_idx, num_heads):
-    """Like fused_spatial_branch, but qkv_w: (L, D, 3D), out_w: (L, D, D),
-    out_b: (L, D) and block_idx: int32 scalar array selecting the block."""
-    N, S, D = x.shape
-    d = D // num_heads
-    fpt = _frames_per_tile(N, S)
-    n_tiles = N // fpt
-    tile_rows = fpt * S
-    cos = jnp.tile(jnp.cos(rope_freqs.astype(jnp.float32)), (N, 1))
-    sin = jnp.tile(jnp.sin(rope_freqs.astype(jnp.float32)), (N, 1))
-    R = jnp.asarray(rotate_half_matrix(d))
-    xf = x.reshape(N * S, D)
-    rot = rope_freqs.shape[-1]
-    # (L, 1, D): Mosaic needs the last-two block dims (8,128)-aligned or full
-    out_b = out_b.reshape(out_b.shape[0], 1, -1)
-
-    def row(w):
-        return pl.BlockSpec((tile_rows, w), lambda c, i: (c, 0),
-                            memory_space=pltpu.VMEM)
-
-    (shift, scale, gate), fpt_pad = _pad_frame_rows(
-        (shift, scale, gate), fpt, n_tiles)
-    frame_spec = pl.BlockSpec((fpt_pad, D), lambda c, i: (c, 0),
-                              memory_space=pltpu.VMEM)
-    gs = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_tiles,),
-        in_specs=[
-            row(D), frame_spec, frame_spec, frame_spec,  # x + adaLN vecs
-            _blk_spec(qkv_w), _blk_spec(out_w), _blk_spec(out_b),
-            row(rot), row(rot),                      # cos, sin
-            _full_spec(R),
-        ],
-        out_specs=row(D),
-    )
-    out = pl.pallas_call(
-        functools.partial(
-            _kernel_pf, num_heads=num_heads, n_frames=fpt, seq_len=S,
-            ln_eps=1e-6, mod_eps=1e-6,
-        ),
-        grid_spec=gs,
-        out_shape=jax.ShapeDtypeStruct(xf.shape, x.dtype),
-        interpret=interpret_mode(),
-        compiler_params=_BRANCH_PARAMS,
-    )(block_idx.reshape(1), xf, shift, scale, gate, qkv_w, out_w, out_b,
-      cos, sin, R)
-    return out.reshape(N, S, D)
-
-
-@functools.partial(jax.jit, static_argnames=("num_heads", "n_frames"))
-def fused_temporal_branch_stacked(x, shift, scale, gate, qkv_w, out_w, out_b,
-                                  rope_freqs, valid, block_idx, num_heads,
-                                  n_frames):
-    """Like fused_temporal_branch with stacked (L, ...) weights + block_idx."""
-    N, S, D = x.shape
-    T = n_frames
-    B = N // T
-    d = D // num_heads
-    cos, sin, R, seg, bias = temporal_preamble(
-        rope_freqs, valid, B, S, T, num_heads, d, x.dtype
-    )
-
-    xf = x.reshape(N * S, D)
-    out_b = out_b.reshape(out_b.shape[0], 1, -1)
-    b_pt = _frames_per_tile(B, T * S)
-    n_tiles = B // b_pt
-    tile_rows = b_pt * T * S
-
-    def row(w):
-        return pl.BlockSpec((tile_rows, w), lambda c, i: (c, 0),
-                            memory_space=pltpu.VMEM)
-
-    (shift, scale, gate, cos, sin), fpt_pad = _pad_frame_rows(
-        (shift, scale, gate, cos, sin), b_pt * T, n_tiles)
-    frame_spec = pl.BlockSpec((fpt_pad, D), lambda c, i: (c, 0),
-                              memory_space=pltpu.VMEM)
-    gs = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_tiles,),
-        in_specs=[
-            row(D), frame_spec, frame_spec, frame_spec,  # x + adaLN vecs
-            _blk_spec(qkv_w), _blk_spec(out_w), _blk_spec(out_b),
-            frame_spec, frame_spec,                  # cos, sin (per-frame)
-            _full_spec(R), _full_spec(seg),
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # bias (T, T)
-        ],
-        out_specs=row(D),
-    )
-    out = pl.pallas_call(
-        functools.partial(
-            _temporal_kernel_pf, num_heads=num_heads, n_frames=T,
-            n_batches=b_pt, seq_len=S, ln_eps=1e-6, mod_eps=1e-6,
-        ),
-        grid_spec=gs,
-        out_shape=jax.ShapeDtypeStruct(xf.shape, x.dtype),
-        interpret=interpret_mode(),
-        compiler_params=_BRANCH_PARAMS,
-    )(block_idx.reshape(1), xf, shift, scale, gate, qkv_w, out_w, out_b,
-      cos, sin, R, seg, bias)
-    return out.reshape(N, S, D)
-
-
-@functools.partial(jax.jit, static_argnames=("approx_gelu",))
-def fused_mlp_branch_stacked(x, shift, scale, gate, w1, b1, w2, b2,
-                             block_idx, approx_gelu=True):
-    """Like fused_mlp_branch with stacked weights w1: (L, D, H), b1: (L, H),
-    w2: (L, H, D), b2: (L, D) + block_idx."""
-    N, S, D = x.shape
-    xf = x.reshape(N * S, D)
-    b1 = b1.reshape(b1.shape[0], 1, -1)
-    b2 = b2.reshape(b2.shape[0], 1, -1)
-    fpt = _frames_per_tile(N, S)
-    n_tiles = N // fpt
-    tile_rows = fpt * S
-
-    def row(w):
-        return pl.BlockSpec((tile_rows, w), lambda c, i: (c, 0),
-                            memory_space=pltpu.VMEM)
-
-    (shift, scale, gate), fpt_pad = _pad_frame_rows(
-        (shift, scale, gate), fpt, n_tiles)
-    frame_spec = pl.BlockSpec((fpt_pad, D), lambda c, i: (c, 0),
-                              memory_space=pltpu.VMEM)
-    gs = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_tiles,),
-        in_specs=[
-            row(D), frame_spec, frame_spec, frame_spec,
-            _blk_spec(w1), _blk_spec(b1), _blk_spec(w2), _blk_spec(b2),
-        ],
-        out_specs=row(D),
-    )
-    out = pl.pallas_call(
-        functools.partial(
-            _mlp_kernel_pf, seq_len=S, ln_eps=1e-6, mod_eps=1e-6,
-            approx_gelu=approx_gelu,
-        ),
-        grid_spec=gs,
-        out_shape=jax.ShapeDtypeStruct(xf.shape, x.dtype),
-        interpret=interpret_mode(),
-        compiler_params=_BRANCH_PARAMS,
-    )(block_idx.reshape(1), xf, shift, scale, gate, w1, b1, w2, b2)
     return out.reshape(N, S, D)

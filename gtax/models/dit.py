@@ -77,16 +77,6 @@ class DiTConfig:
     # standard transformer remat recipe: near-3x-FLOP steps with the big f32
     # score tensors excluded from the residual set. MFU lever: docs/PERF.md.
     remat_policy: str = "full"
-    # EXPERIMENTAL inference-only path for the fused_all backend: run the
-    # whole block stack as one weight-streaming Pallas pipeline
-    # (gtax/kernels/stack.py; B*T <= 8) or, for larger batches, per-branch
-    # kernels with scalar-prefetch stacked weights. Bit-exact vs the xla
-    # backend (tested), and it eliminates XLA's per-block HBM->HBM weight
-    # slice copies — but as of round 2 it measures SLOWER than the default
-    # per-branch 'fused' path on v5e (attention stages lose ~2x inside the
-    # megakernel; full analysis in docs/PERF.md), so it stays opt-in.
-    # Forward-only: no custom_vjp, the Trainer forces it off.
-    stream_stacked: bool = False
 
     @property
     def grid_h(self) -> int:
@@ -370,76 +360,6 @@ def _block_apply(x, c, bp, spatial_freqs, temporal_freqs, num_heads, valid,
     return x
 
 
-def _block_apply_stacked(x, c, stacked, idx, spatial_freqs, temporal_freqs,
-                         num_heads, valid, dtype):
-    """One SpatioTemporalDiTBlock with STACKED (depth, ...) weights selected
-    by traced block index `idx` inside the Pallas pipelines (inference-only;
-    see DiTConfig.stream_stacked). adaLN GEMMs consume XLA dynamic slices,
-    which fuse into the GEMM reads — only custom-call operands needed the
-    scalar-prefetch treatment."""
-    from gtax.kernels.block import (
-        fused_mlp_branch_stacked,
-        fused_spatial_branch_stacked,
-        fused_temporal_branch_stacked,
-    )
-
-    B, T, gh, gw, D = x.shape
-    S = gh * gw
-
-    def sliced(prms):
-        return jax.tree.map(lambda a: a[idx], prms)
-
-    def wcast(a):
-        return a.astype(dtype)
-
-    sh1, sc1, g1, sh2, sc2, g2 = adaln(sliced(stacked["s_adaln"]), c, 6, dtype)
-    x = fused_spatial_branch_stacked(
-        x.reshape(B * T, S, D),
-        sh1.reshape(B * T, D),
-        sc1.reshape(B * T, D),
-        g1.reshape(B * T, D),
-        wcast(stacked["s_attn"]["qkv"]["kernel"]),
-        wcast(stacked["s_attn"]["out"]["kernel"]),
-        stacked["s_attn"]["out"]["bias"],
-        spatial_freqs.reshape(S, -1),
-        idx,
-        num_heads,
-    ).reshape(B, T, gh, gw, D)
-
-    def mlp_branch(x, prms, shift, scale, g):
-        return fused_mlp_branch_stacked(
-            x.reshape(B * T, S, D),
-            shift.reshape(B * T, D),
-            scale.reshape(B * T, D),
-            g.reshape(B * T, D),
-            wcast(prms["fc1"]["kernel"]),
-            prms["fc1"]["bias"],
-            wcast(prms["fc2"]["kernel"]),
-            prms["fc2"]["bias"],
-            idx,
-        ).reshape(B, T, gh, gw, D)
-
-    x = mlp_branch(x, stacked["s_mlp"], sh2, sc2, g2)
-
-    th1, tc1, tg1, th2, tc2, tg2 = adaln(sliced(stacked["t_adaln"]), c, 6, dtype)
-    x = fused_temporal_branch_stacked(
-        x.reshape(B * T, S, D),
-        th1.reshape(B * T, D),
-        tc1.reshape(B * T, D),
-        tg1.reshape(B * T, D),
-        wcast(stacked["t_attn"]["qkv"]["kernel"]),
-        wcast(stacked["t_attn"]["out"]["kernel"]),
-        stacked["t_attn"]["out"]["bias"],
-        temporal_freqs,
-        valid,
-        idx,
-        num_heads,
-        T,
-    ).reshape(B, T, gh, gw, D)
-    x = mlp_branch(x, stacked["t_mlp"], th2, tc2, tg2)
-    return x
-
-
 def dit_apply(
     params,
     cfg: DiTConfig,
@@ -462,7 +382,7 @@ def dit_apply(
     Attention broadcast (inference acceleration, see _block_apply):
     collect_cache=True additionally returns the per-block attention residual
     deltas; attn_cache=<that pytree> skips all attention branches and reuses
-    the deltas. Not combinable with stream_stacked or block_remat.
+    the deltas. Not combinable with block_remat.
 
     mods: optional conditioning cache from dit_cond (serving acceleration:
     the adaLN heads carry ~1/3 of the DiT weight bytes for 5 rows of input;
@@ -529,19 +449,6 @@ def dit_apply(
         jnp.arange(T), jax.lax.stop_gradient(params["temporal_rope_freqs"])
     )
 
-    use_stacked = (
-        cfg.stream_stacked
-        and attn.get_backend() == "fused_all"
-        and (valid is None or valid.ndim == 1)
-    )
-    if (use_stacked and not isinstance(params["blocks"], (list, tuple))
-            and "kernel_q" in params["blocks"]["s_attn"]["qkv"]):
-        raise ValueError(
-            "stream_stacked does not support W8A8-quantized params: the "
-            "stack pipeline (gtax/kernels/stack.py) streams bf16 weight "
-            "packs. Use the unstacked int8 path (unstack_for_inference + "
-            "quantize_for_inference with stream_stacked=False)."
-        )
     use_cache = attn_cache is not None or collect_cache
     if isinstance(params["blocks"], (list, tuple)):
         # INFERENCE fast path: blocks pre-unstacked into per-block pytrees
@@ -602,65 +509,27 @@ def dit_apply(
         h = _dit_head(params, cfg, h, c, B, T, gh, gw, compute_dtype)
         return h
 
-    rows = B * T * gh * gw
-    if use_stacked and B * T <= 8 and rows <= 1536:
-        # the whole 16-block stack as ONE Pallas pipeline: x stays VMEM-
-        # resident across blocks, per-stage weight DMA overlaps the previous
-        # stage's compute (gtax/kernels/stack.py)
-        from gtax.kernels.stack import (
-            fused_dit_stack,
-            pack_stack_sideband,
-            pack_stack_weights,
+    block = _block_apply
+    if cfg.block_remat:
+        policy = {
+            "dots": jax.checkpoint_policies.checkpoint_dots,
+            "dots_nb":
+                jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims,
+        }.get(cfg.remat_policy)
+        # num_heads (5) and dtype (7) are static python values
+        block = jax.checkpoint(_block_apply, static_argnums=(5, 7),
+                               policy=policy)
+
+    def body(carry, bp):
+        return (
+            block(
+                carry, c, bp, spatial_freqs, temporal_freqs, cfg.num_heads,
+                valid, compute_dtype,
+            ),
+            None,
         )
 
-        attn_pack, mlp_pack = pack_stack_weights(params["blocks"],
-                                                 compute_dtype)
-        sideband = pack_stack_sideband(
-            params["blocks"], c.reshape(B * T, cfg.hidden_size),
-            compute_dtype,
-        )
-        h = fused_dit_stack(
-            h.reshape(rows, cfg.hidden_size).astype(compute_dtype),
-            attn_pack, mlp_pack, sideband,
-            spatial_freqs.reshape(gh * gw, -1), temporal_freqs, valid,
-            cfg.depth, cfg.num_heads, B, T,
-        ).reshape(B, T, gh, gw, cfg.hidden_size)
-    elif use_stacked:
-        stacked = params["blocks"]
-
-        def body(carry, idx):
-            return (
-                _block_apply_stacked(
-                    carry, c, stacked, idx, spatial_freqs, temporal_freqs,
-                    cfg.num_heads, valid, compute_dtype,
-                ),
-                None,
-            )
-
-        h, _ = jax.lax.scan(body, h, jnp.arange(cfg.depth, dtype=jnp.int32),
-                            unroll=cfg.scan_unroll)
-    else:
-        block = _block_apply
-        if cfg.block_remat:
-            policy = {
-                "dots": jax.checkpoint_policies.checkpoint_dots,
-                "dots_nb":
-                    jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims,
-            }.get(cfg.remat_policy)
-            # num_heads (5) and dtype (7) are static python values
-            block = jax.checkpoint(_block_apply, static_argnums=(5, 7),
-                                   policy=policy)
-
-        def body(carry, bp):
-            return (
-                block(
-                    carry, c, bp, spatial_freqs, temporal_freqs, cfg.num_heads,
-                    valid, compute_dtype,
-                ),
-                None,
-            )
-
-        h, _ = jax.lax.scan(body, h, params["blocks"], unroll=cfg.scan_unroll)
+    h, _ = jax.lax.scan(body, h, params["blocks"], unroll=cfg.scan_unroll)
 
     return _dit_head(params, cfg, h, c, B, T, gh, gw, compute_dtype)
 

@@ -111,11 +111,6 @@ class Trainer:
 
         if config.remat and not self.dit_cfg.block_remat:
             self.dit_cfg = _dc.replace(self.dit_cfg, block_remat=True)
-        if self.dit_cfg.stream_stacked:
-            # the stacked-weight scan path is forward-only (no custom_vjp on
-            # the scalar-prefetch kernels) — training must use the trainable
-            # sliced-weight path
-            self.dit_cfg = _dc.replace(self.dit_cfg, stream_stacked=False)
         if dit_params is not None:
             self.dit_params = dit_params
         elif config.pretrained_model:

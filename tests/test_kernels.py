@@ -49,28 +49,6 @@ def test_fused_1d_mask_matches_xla():
     out = kattn.fused_sdpa(q, k, v, mask=valid)
     ref = nnattn.sdpa(q, k, v, mask=valid[None, :])
     assert_close(out, ref, atol=2e-5, rtol=1e-4)
-
-
-def test_stream_stacked_rejects_quantized_params():
-    from gtax.models.dit import (DiTConfig, dit_apply, dit_init,
-                                 quantize_for_inference)
-
-    cfg = DiTConfig(hidden_size=64, depth=1, num_heads=2,
-                    stream_stacked=True)
-    pq = quantize_for_inference(dit_init(jax.random.PRNGKey(0), cfg), cfg)
-    x = jnp.zeros((1, cfg.max_frames, cfg.in_channels, cfg.input_h,
-                   cfg.input_w))
-    t = jnp.zeros((1, cfg.max_frames), jnp.int32)
-    prev = nnattn.get_backend()
-    nnattn.set_backend("fused_all")
-    try:
-        with pytest.raises(ValueError, match="stream_stacked"):
-            dit_apply(pq, cfg, x, t, None, None,
-                      compute_dtype=jnp.float32)
-    finally:
-        nnattn.set_backend(prev)
-
-
 def test_batch_mask_falls_back():
     S, d = 5, 16
     q = rand(0, (2, S, d))
@@ -193,39 +171,6 @@ def test_unstacked_inference_matches_scan():
         finally:
             nnattn.set_backend("xla")
         assert_close(out, ref, atol=1e-5, rtol=1e-5, name=backend)
-
-
-@pytest.mark.parametrize("batch,with_valid", [(1, False), (1, True),
-                                              (2, False)])
-def test_stream_stacked_matches_xla(batch, with_valid):
-    """DiTConfig.stream_stacked (weight-streaming inference paths): B*T <= 8
-    selects the whole-stack megakernel (gtax.kernels.stack), larger batches
-    the scalar-prefetch per-branch kernels. Both must match the xla backend
-    exactly in fp32."""
-    import dataclasses
-
-    from gtax.models.dit import DiTConfig, dit_apply, dit_init
-
-    cfg = DiTConfig(input_h=6, input_w=8, patch_size=2, in_channels=8,
-                    hidden_size=128, depth=3, num_heads=2, max_frames=5,
-                    external_cond_dim=25)
-    params = dit_init(jax.random.PRNGKey(0), cfg)
-    x = jax.random.normal(jax.random.PRNGKey(1), (batch, 5, 8, 6, 8))
-    t = jnp.full((batch, 5), 15, jnp.int32)
-    acts = jax.random.normal(jax.random.PRNGKey(2), (batch, 5, 25))
-    valid = jnp.asarray([False, True, True, True, True]) if with_valid \
-        else None
-
-    nnattn.set_backend("xla")
-    ref = dit_apply(params, cfg, x, t, acts, valid, compute_dtype=jnp.float32)
-    nnattn.set_backend("fused_all")
-    try:
-        scfg = dataclasses.replace(cfg, stream_stacked=True)
-        out = dit_apply(params, scfg, x, t, acts, valid,
-                        compute_dtype=jnp.float32)
-    finally:
-        nnattn.set_backend("xla")
-    assert_close(out, ref, atol=1e-5, rtol=1e-5)
 
 
 @pytest.mark.slow

@@ -74,28 +74,6 @@ def test_backend_equivalence_onchip(setup, backend):
     # shows up orders of magnitude larger. fp32 correctness is anchored by
     # the golden torch-parity suite.
     assert_close(out, ref, atol=5e-3, rtol=5e-3, name=backend)
-
-
-@pytest.mark.parametrize("batch", [1, 2])
-def test_stream_stacked_onchip(setup, batch):
-    """Weight-streaming inference paths after real Mosaic lowering: B=1 takes
-    the whole-stack megakernel (gtax.kernels.stack: manual double-buffered
-    DMA), B=2 (B*T=10 > 8) the scalar-prefetch per-branch kernels."""
-    import dataclasses
-
-    params, x, t, acts = setup
-    x, t, acts = x[:batch], t[:batch], acts[:batch]
-    nnattn.set_backend("xla")
-    ref = dit_apply(params, DIT_ONCHIP, x, t, acts, compute_dtype=jnp.float32)
-    nnattn.set_backend("fused_all")
-    try:
-        scfg = dataclasses.replace(DIT_ONCHIP, stream_stacked=True)
-        out = dit_apply(params, scfg, x, t, acts, compute_dtype=jnp.float32)
-    finally:
-        nnattn.set_backend("xla")
-    assert_close(out, ref, atol=5e-3, rtol=5e-3, name=f"stacked_b{batch}")
-
-
 def test_quantized_onchip(setup):
     """W8A8 int8 serving path after real Mosaic lowering (int8 MXU dots):
     must stay within quantization tolerance of the fp32 XLA forward."""
