@@ -694,6 +694,53 @@ def _mlp_branch_call(mp, h, sh, sc, g, dtype):
     )
 
 
+def _spatial_pair_call(bp, h, sh1, sc1, g1, sh2, sc2, g2, freqs, num_heads,
+                       dtype):
+    """Spatial attention + spatial MLP for one block: a single paired kernel
+    on the int8 path (halves serving dispatches — gtax.kernels.pair),
+    sequential branch kernels otherwise. Bit-equal either way."""
+    ap, mp = bp["s_attn"], bp["s_mlp"]
+    if "kernel_q" in ap["qkv"]:
+        from gtax.kernels.pair import fused_spatial_pair_q
+
+        return fused_spatial_pair_q(
+            h, sh1, sc1, g1, sh2, sc2, g2, ap["qkv"]["kernel_q"],
+            ap["qkv"]["scale"], ap["out"]["kernel_q"], ap["out"]["scale"],
+            ap["out"]["bias"], mp["fc1"]["kernel_q"], mp["fc1"]["scale"],
+            mp["fc1"]["bias"], mp["fc2"]["kernel_q"], mp["fc2"]["scale"],
+            mp["fc2"]["bias"], freqs, num_heads,
+        )
+    h = _spatial_branch_call(ap, h, sh1, sc1, g1, freqs, num_heads, dtype)
+    return _mlp_branch_call(mp, h, sh2, sc2, g2, dtype)
+
+
+def _temporal_pair_step_call(bp, h, th1, tc1, tg1, th2, tc2, tg2, k_ctx,
+                             v_ctx, freqs, valid, num_heads, n_ctx, n_live,
+                             dtype):
+    """Incremental temporal step + temporal MLP for one block (paired int8
+    kernel / sequential fallback)."""
+    ap, mp = bp["t_attn"], bp["t_mlp"]
+    if "kernel_q" in ap["qkv"]:
+        from gtax.kernels.pair import fused_temporal_pair_q
+
+        return fused_temporal_pair_q(
+            h, th1, tc1, tg1, th2, tc2, tg2, ap["qkv"]["kernel_q"],
+            ap["qkv"]["scale"], ap["out"]["kernel_q"], ap["out"]["scale"],
+            ap["out"]["bias"], mp["fc1"]["kernel_q"], mp["fc1"]["scale"],
+            mp["fc1"]["bias"], mp["fc2"]["kernel_q"], mp["fc2"]["scale"],
+            mp["fc2"]["bias"], k_ctx, v_ctx, freqs, valid, num_heads, n_ctx,
+            n_live=n_live,
+        )
+    from gtax.kernels.block import fused_temporal_step
+
+    h = fused_temporal_step(
+        h, th1, tc1, tg1, ap["qkv"]["kernel"].astype(dtype),
+        ap["out"]["kernel"].astype(dtype), ap["out"]["bias"],
+        k_ctx, v_ctx, freqs, valid, num_heads, n_ctx, n_live=n_live,
+    )
+    return _mlp_branch_call(mp, h, th2, tc2, tg2, dtype)
+
+
 def _split6(m, rows, D):
     return [a.reshape(rows, D) for a in jnp.split(m, 6, axis=-1)]
 
@@ -732,9 +779,8 @@ def dit_prefill(params, cfg: DiTConfig, x_ctx, mods, valid_ctx,
         m = mods["blocks"][i]
         sh1, sc1, g1, sh2, sc2, g2 = _split6(m["s"], rows, D)
         th1, tc1, tg1, th2, tc2, tg2 = _split6(m["t"], rows, D)
-        h = _spatial_branch_call(bp["s_attn"], h, sh1, sc1, g1,
-                                 spatial_freqs, cfg.num_heads, compute_dtype)
-        h = _mlp_branch_call(bp["s_mlp"], h, sh2, sc2, g2, compute_dtype)
+        h = _spatial_pair_call(bp, h, sh1, sc1, g1, sh2, sc2, g2,
+                               spatial_freqs, cfg.num_heads, compute_dtype)
         ap = bp["t_attn"]
         if "kernel_q" in ap["qkv"]:
             from gtax.kernels.quant import fused_temporal_branch_q
@@ -793,30 +839,12 @@ def dit_apply_step(params, cfg: DiTConfig, x_last, kv_cache, mods, valid,
         m = mods["blocks"][i]
         sh1, sc1, g1, sh2, sc2, g2 = _split6(m["s"], rows, D)
         th1, tc1, tg1, th2, tc2, tg2 = _split6(m["t"], rows, D)
-        h = _spatial_branch_call(bp["s_attn"], h, sh1, sc1, g1,
-                                 spatial_freqs, cfg.num_heads, compute_dtype)
-        h = _mlp_branch_call(bp["s_mlp"], h, sh2, sc2, g2, compute_dtype)
-        ap = bp["t_attn"]
+        h = _spatial_pair_call(bp, h, sh1, sc1, g1, sh2, sc2, g2,
+                               spatial_freqs, cfg.num_heads, compute_dtype)
         k_ctx, v_ctx = kv_cache[i]
-        if "kernel_q" in ap["qkv"]:
-            from gtax.kernels.quant import fused_temporal_step_q
-
-            h = fused_temporal_step_q(
-                h, th1, tc1, tg1, ap["qkv"]["kernel_q"], ap["qkv"]["scale"],
-                ap["out"]["kernel_q"], ap["out"]["scale"], ap["out"]["bias"],
-                k_ctx, v_ctx, temporal_freqs, valid, cfg.num_heads, n_ctx,
-                n_live=Tl,
-            )
-        else:
-            from gtax.kernels.block import fused_temporal_step
-
-            h = fused_temporal_step(
-                h, th1, tc1, tg1, ap["qkv"]["kernel"].astype(compute_dtype),
-                ap["out"]["kernel"].astype(compute_dtype), ap["out"]["bias"],
-                k_ctx, v_ctx, temporal_freqs, valid, cfg.num_heads, n_ctx,
-                n_live=Tl,
-            )
-        h = _mlp_branch_call(bp["t_mlp"], h, th2, tc2, tg2, compute_dtype)
+        h = _temporal_pair_step_call(
+            bp, h, th1, tc1, tg1, th2, tc2, tg2, k_ctx, v_ctx,
+            temporal_freqs, valid, cfg.num_heads, n_ctx, Tl, compute_dtype)
     h = h.reshape(B, Tl, gh, gw, D)
     return _dit_head(params, cfg, h, None, B, Tl, gh, gw, compute_dtype,
                      final_mods=mods["final"])
