@@ -133,7 +133,36 @@ def _rope_table(cfg: VAEConfig, dim: int, num_heads: int):
     return rope.axial_freqs(freqs, (cfg.seq_h, cfg.seq_w), pixel=True)
 
 
-def _run_blocks(blocks, x, rope_freqs, num_heads, grid_hw, compute_dtype):
+def _run_blocks(blocks, x, rope_freqs, num_heads, grid_hw, compute_dtype,
+                fused=False):
+    if fused:
+        # whole block per Pallas call: weights stream once, frames sweep the
+        # grid, no HBM round-trips for scores/LN/GELU (inference-only —
+        # pallas_call has no autodiff and the VAE is frozen in training)
+        from gtax.kernels.vae_block import fused_vae_block
+
+        rf = rope_freqs.reshape(-1, rope_freqs.shape[-1])
+
+        def fbody(carry, bp):
+            h = fused_vae_block(
+                carry,
+                bp["norm1"]["weight"], bp["norm1"]["bias"],
+                bp["attn"]["qkv"]["kernel"].astype(compute_dtype),
+                bp["attn"]["qkv"]["bias"],
+                bp["attn"]["out"]["kernel"].astype(compute_dtype),
+                bp["attn"]["out"]["bias"],
+                bp["norm2"]["weight"], bp["norm2"]["bias"],
+                bp["mlp"]["fc1"]["kernel"].astype(compute_dtype),
+                bp["mlp"]["fc1"]["bias"],
+                bp["mlp"]["fc2"]["kernel"].astype(compute_dtype),
+                bp["mlp"]["fc2"]["bias"],
+                rf, num_heads,
+            )
+            return h, None
+
+        out, _ = jax.lax.scan(fbody, x.astype(compute_dtype), blocks)
+        return out
+
     def body(carry, bp):
         h = carry
         h = h + attn.vae_frame_attention(
@@ -156,16 +185,18 @@ def _run_blocks(blocks, x, rope_freqs, num_heads, grid_hw, compute_dtype):
     return out
 
 
-def vae_encode(params, cfg: VAEConfig, x, compute_dtype=jnp.bfloat16):
+def vae_encode(params, cfg: VAEConfig, x, compute_dtype=jnp.bfloat16,
+               fused=False):
     """pixels (N, 3, H, W) in [-1, 1] -> (mean, logvar), each
     (N, seq_len, latent_dim); logvar clamped to [-30, 20]
-    (reference model/vae.py:306-322 + DiagonalGaussianDistribution :19-45)."""
+    (reference model/vae.py:306-322 + DiagonalGaussianDistribution :19-45).
+    fused=True runs each block as one Pallas kernel (inference only)."""
     h = patchify_embed(params["patch_embed"], x, cfg.patch_size, compute_dtype)
     h = h.reshape(h.shape[0], cfg.seq_len, cfg.enc_dim)
     rope_freqs = _rope_table(cfg, cfg.enc_dim, cfg.enc_heads)
     h = _run_blocks(
         params["encoder"], h, rope_freqs, cfg.enc_heads,
-        (cfg.seq_h, cfg.seq_w), compute_dtype,
+        (cfg.seq_h, cfg.seq_w), compute_dtype, fused=fused,
     )
     h = layer_norm(
         h, weight=params["enc_norm"]["weight"], bias=params["enc_norm"]["bias"]
@@ -235,14 +266,16 @@ def vae_autoencode(params, cfg: VAEConfig, x, key=None,
     return rec, post, z
 
 
-def vae_decode(params, cfg: VAEConfig, z, compute_dtype=jnp.bfloat16):
+def vae_decode(params, cfg: VAEConfig, z, compute_dtype=jnp.bfloat16,
+               fused=False):
     """latents (N, seq_len, latent_dim) -> pixels (N, 3, H, W) in [-1, 1]
-    (reference model/vae.py:324-338; unpatchify :279-304)."""
+    (reference model/vae.py:324-338; unpatchify :279-304).
+    fused=True runs each block as one Pallas kernel (inference only)."""
     h = linear(params["post_quant"], z, compute_dtype)
     rope_freqs = _rope_table(cfg, cfg.dec_dim, cfg.dec_heads)
     h = _run_blocks(
         params["decoder"], h, rope_freqs, cfg.dec_heads,
-        (cfg.seq_h, cfg.seq_w), compute_dtype,
+        (cfg.seq_h, cfg.seq_w), compute_dtype, fused=fused,
     )
     h = layer_norm(
         h, weight=params["dec_norm"]["weight"], bias=params["dec_norm"]["bias"]

@@ -154,10 +154,15 @@ class VideoGenerator:
                 dit_fn, self.dit_cfg.max_frames, sampler, pab=pab,
                 cond=cond, incremental=incremental)
 
+        # fused VAE block kernels ride the same backend switch as the
+        # DiT kernels (gtax/kernels/vae_block.py; ~2x decode throughput)
+        vae_fused = cfg.attention_backend in ("fused", "fused_all")
         self._encode = jax.jit(
-            lambda vp, v: encode_frames(vp, self.vae_cfg, v, dtype))
+            lambda vp, v: encode_frames(vp, self.vae_cfg, v, dtype,
+                                        fused=vae_fused))
         self._decode = jax.jit(
-            lambda vp, lat: decode_frames(vp, self.vae_cfg, lat, dtype))
+            lambda vp, lat: decode_frames(vp, self.vae_cfg, lat, dtype,
+                                          fused=vae_fused))
         self._dp_runners = {}
         # stage timings of the most recent generate() call (seconds):
         # {"encode_s", "rollout_s", "decode_s"} — rollout_s is the number to

@@ -54,23 +54,29 @@ from gtax.utils.profiling import MFUCounter, StepTimer, dit_forward_flops
 logger = logging.getLogger("gtax.train")
 
 
-def encode_frames(vae_params, vae_cfg, frames, compute_dtype):
+def encode_frames(vae_params, vae_cfg, frames, compute_dtype,
+                  fused=False):
     """frames (B,T,3,H,W) in [0,1] -> latents (B,T,C,h,w) float32
-    (reference encode_frames, train_dit.py:329-351)."""
+    (reference encode_frames, train_dit.py:329-351). fused=True takes the
+    fused VAE block kernels (inference/serving only)."""
     B, T = frames.shape[:2]
     flat = frames.reshape(B * T, *frames.shape[2:])
-    mean, _ = vae_encode(vae_params, vae_cfg, flat * 2.0 - 1.0, compute_dtype)
+    mean, _ = vae_encode(vae_params, vae_cfg, flat * 2.0 - 1.0, compute_dtype,
+                         fused=fused)
     lat = mean * LATENT_SCALE
     lat = lat.reshape(B, T, vae_cfg.seq_h, vae_cfg.seq_w, vae_cfg.latent_dim)
     return lat.transpose(0, 1, 4, 2, 3).astype(jnp.float32)
 
 
-def decode_frames(vae_params, vae_cfg, latents, compute_dtype):
+def decode_frames(vae_params, vae_cfg, latents, compute_dtype,
+                  fused=False):
     """latents (B,T,C,h,w) -> uint8 video (B,T,H,W,3)
-    (reference decode_frames, train_dit.py:353-369)."""
+    (reference decode_frames, train_dit.py:353-369). fused=True takes the
+    fused VAE block kernels (inference/serving only)."""
     B, T, C, h, w = latents.shape
     flat = latents.transpose(0, 1, 3, 4, 2).reshape(B * T, h * w, C)
-    pix = vae_decode(vae_params, vae_cfg, flat / LATENT_SCALE, compute_dtype)
+    pix = vae_decode(vae_params, vae_cfg, flat / LATENT_SCALE, compute_dtype,
+                     fused=fused)
     pix = (pix + 1.0) / 2.0
     pix = pix.reshape(B, T, 3, vae_cfg.input_height, vae_cfg.input_width)
     pix = jnp.clip(pix * 255.0, 0, 255).astype(jnp.uint8)

@@ -31,6 +31,11 @@ def main():
     p.add_argument("--batches", default="1,8,32")
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--fused", action="store_true",
+                   help="fused per-block Pallas kernels "
+                        "(gtax/kernels/vae_block.py)")
+    p.add_argument("--no_save", action="store_true",
+                   help="don't overwrite docs/vae_bench.json")
     args = p.parse_args()
 
     import jax
@@ -53,14 +58,16 @@ def main():
         def enc(p, x):
             # caller contract: pixels scaled to [-1, 1], posterior mean,
             # latent scale 4/51 (reference generate.py:50-66)
-            mean, _ = vae_encode(p, cfg, x * 2.0 - 1.0, dtype)
+            mean, _ = vae_encode(p, cfg, x * 2.0 - 1.0, dtype,
+                                 fused=args.fused)
             return mean * LATENT_SCALE
 
         lat = enc(params, x)
 
         @jax.jit
         def dec(p, z):
-            return vae_decode(p, cfg, z / LATENT_SCALE, dtype)
+            return vae_decode(p, cfg, z / LATENT_SCALE, dtype,
+                              fused=args.fused)
 
         out = dec(params, lat)
         jnp.sum(out).block_until_ready()
@@ -88,11 +95,13 @@ def main():
     line = {
         "device": jax.devices()[0].device_kind,
         "dtype": dtype.name,
+        "fused": args.fused,
         "results": results,
     }
     print(json.dumps(line))
-    with open(os.path.join(REPO, "docs", "vae_bench.json"), "w") as f:
-        json.dump(line, f, indent=1)
+    if not args.no_save:
+        with open(os.path.join(REPO, "docs", "vae_bench.json"), "w") as f:
+            json.dump(line, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -149,3 +149,50 @@ def test_incremental_step_onchip(setup):
         tol = 5e-3 if quant else 2e-3
         assert rel < tol, f"incremental (quant={quant}) rel L2 {rel}"
         assert np.isfinite(out_n).all()
+
+
+def test_paired_step_onchip(setup):
+    """The paired attention+MLP serving kernels (gtax.kernels.pair) are the
+    int8 leg of test_incremental_step_onchip; this pins them directly
+    against the sequential branch kernels after real Mosaic lowering."""
+    from gtax.kernels.pair import fused_spatial_pair_q
+    from gtax.kernels.quant import (fused_mlp_branch_q,
+                                    fused_spatial_branch_q, quantize_weight)
+
+    D, H, S, heads = 128, 512, 48, 2
+    ks = jax.random.split(jax.random.PRNGKey(3), 12)
+    x = jax.random.normal(ks[0], (4, S, D), jnp.bfloat16)
+    v6 = [jax.random.normal(k, (4, D), jnp.bfloat16) * 0.3 for k in ks[1:7]]
+    qkv_q, qkv_s = quantize_weight(jax.random.normal(ks[7], (D, 3 * D)) * 0.05)
+    out_q, out_s = quantize_weight(jax.random.normal(ks[8], (D, D)) * 0.05)
+    out_b = jnp.zeros((D,), jnp.float32)
+    w1_q, w1_s = quantize_weight(jax.random.normal(ks[9], (D, H)) * 0.05)
+    w2_q, w2_s = quantize_weight(jax.random.normal(ks[10], (H, D)) * 0.05)
+    b1, b2 = jnp.zeros((H,), jnp.float32), jnp.zeros((D,), jnp.float32)
+    freqs = jax.random.normal(ks[11], (S, D // heads))
+
+    seq = fused_spatial_branch_q(x, *v6[:3], qkv_q, qkv_s, out_q, out_s,
+                                 out_b, freqs, heads)
+    seq = fused_mlp_branch_q(seq, *v6[3:], w1_q, w1_s, b1, w2_q, w2_s, b2)
+    got = fused_spatial_pair_q(x, *v6, qkv_q, qkv_s, out_q, out_s, out_b,
+                               w1_q, w1_s, b1, w2_q, w2_s, b2, freqs, heads)
+    # same ops, one fp32 VMEM region instead of an HBM bf16 round-trip at
+    # the seam — bf16-exact
+    assert_close(got, seq, atol=1e-6, rtol=1e-6)
+
+
+def test_fused_vae_block_onchip():
+    """Fused VAE block kernel vs the XLA path after real Mosaic lowering
+    (flagship head geometry: head_dim 64, partial rot 32)."""
+    from gtax.models.vae import VAEConfig, vae_decode, vae_init
+
+    cfg = VAEConfig(latent_dim=8, input_height=48, input_width=64,
+                    patch_size=8, enc_dim=128, enc_depth=2, enc_heads=2,
+                    dec_dim=128, dec_depth=2, dec_heads=2)
+    params = jax.jit(lambda k: vae_init(k, cfg))(jax.random.PRNGKey(0))
+    params = jax.tree.map(lambda l: l + 0.01 if l.ndim == 1 else l, params)
+    z = jax.random.normal(jax.random.PRNGKey(1), (3, cfg.seq_len,
+                                                  cfg.latent_dim))
+    ref = vae_decode(params, cfg, z, jnp.float32)
+    got = vae_decode(params, cfg, z, jnp.float32, fused=True)
+    assert_close(got, ref, atol=5e-4, rtol=1e-3)
