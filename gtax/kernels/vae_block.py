@@ -39,6 +39,20 @@ _VAE_PARAMS = pltpu.CompilerParams(
 )
 
 
+def _gelu_erf(x32):
+    """Exact (erf) GELU for Mosaic, which has no erf/erfc lowering: erf via
+    Abramowitz & Stegun 7.1.26 (max abs error 1.5e-7 — over an order of
+    magnitude below bf16 resolution, so this matches the XLA path's
+    jax.nn.gelu(approximate=False) to working precision)."""
+    z = x32 * 0.7071067811865476
+    az = jnp.abs(z)
+    t = 1.0 / (1.0 + 0.3275911 * az)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    erf = jnp.sign(z) * (1.0 - poly * jnp.exp(-az * az))
+    return 0.5 * x32 * (1.0 + erf)
+
+
 def _vae_block_kernel(x_ref, ln1w_ref, ln1b_ref, qkvw_ref, qkvb_ref,
                       outw_ref, outb_ref, ln2w_ref, ln2b_ref, w1_ref, b1_ref,
                       w2_ref, b2_ref, cos_ref, sin_ref, rot_ref, o_ref, *,
@@ -48,6 +62,10 @@ def _vae_block_kernel(x_ref, ln1w_ref, ln1b_ref, qkvw_ref, qkvb_ref,
     d = D // num_heads
     rot = rot_ref.shape[0]
     dtype = x.dtype
+    # match gtax.nn.layers.matmul_precision: fp32 parity mode must not let
+    # the MXU truncate inputs to one bf16 pass (production bf16 uses DEFAULT)
+    prec = (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
 
     def ln(v32, w_ref, b_ref):
         mean = jnp.mean(v32, axis=-1, keepdims=True)
@@ -57,7 +75,8 @@ def _vae_block_kernel(x_ref, ln1w_ref, ln1b_ref, qkvw_ref, qkvb_ref,
 
     x32 = x.astype(jnp.float32)
     h = ln(x32, ln1w_ref, ln1b_ref).astype(dtype)
-    qkv = jnp.dot(h, qkvw_ref[:], preferred_element_type=jnp.float32)
+    qkv = jnp.dot(h, qkvw_ref[:], preferred_element_type=jnp.float32,
+                  precision=prec)
     qkv = (qkv + qkvb_ref[0].astype(jnp.float32)).astype(dtype)
     q, k, v = qkv[:, :D], qkv[:, D:2 * D], qkv[:, 2 * D:]
 
@@ -78,25 +97,29 @@ def _vae_block_kernel(x_ref, ln1w_ref, ln1b_ref, qkvw_ref, qkvb_ref,
         ks = jnp.concatenate([kr, ks[:, rot:]], axis=-1)
         scores = jax.lax.dot_general(
             qs, ks, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=prec,
         ) * scale_attn
         m = jnp.max(scores, axis=-1, keepdims=True)
         e = jnp.exp(scores - m)
         probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dtype)
         head_outs.append(jnp.dot(
-            probs, v[:, sl], preferred_element_type=jnp.float32
+            probs, v[:, sl], preferred_element_type=jnp.float32,
+            precision=prec,
         ).astype(dtype))
     attn_out = jnp.concatenate(head_outs, axis=-1)
 
-    y = jnp.dot(attn_out, outw_ref[:], preferred_element_type=jnp.float32)
+    y = jnp.dot(attn_out, outw_ref[:], preferred_element_type=jnp.float32,
+                precision=prec)
     y = (y + outb_ref[0].astype(jnp.float32)).astype(dtype)
     xm = x + y  # residual in the compute dtype (XLA path: h = h + attn(...))
 
     h2 = ln(xm.astype(jnp.float32), ln2w_ref, ln2b_ref).astype(dtype)
-    hh = jnp.dot(h2, w1_ref[:], preferred_element_type=jnp.float32)
+    hh = jnp.dot(h2, w1_ref[:], preferred_element_type=jnp.float32,
+                 precision=prec)
     hh = (hh + b1_ref[0].astype(jnp.float32)).astype(dtype)
-    hh = jax.nn.gelu(hh.astype(jnp.float32), approximate=False).astype(dtype)
-    y2 = jnp.dot(hh, w2_ref[:], preferred_element_type=jnp.float32)
+    hh = _gelu_erf(hh.astype(jnp.float32)).astype(dtype)
+    y2 = jnp.dot(hh, w2_ref[:], preferred_element_type=jnp.float32,
+                 precision=prec)
     y2 = (y2 + b2_ref[0].astype(jnp.float32)).astype(dtype)
     o_ref[:] = xm + y2
 
