@@ -50,6 +50,17 @@ from gtax.kernels.block import (
 )
 from gtax.kernels.quant import _mlp_chunks, _qdot, _quant_rows
 
+
+def _pair_chunks(h: int) -> int:
+    '''Hidden-dim chunk count for the pair kernels (env-overridable for
+    experiments: GTAX_PAIR_CHUNKS).'''
+    import os
+
+    env = os.environ.get("GTAX_PAIR_CHUNKS")
+    if env:
+        return int(env)
+    return _mlp_chunks(h)
+
 # attention intermediates (fp32 qkv slabs) grow the Mosaic stack well past
 # the branch kernels' 64 MB budget at paired working sets; v5e has 128 MB
 _PAIR_PARAMS = pltpu.CompilerParams(
@@ -187,13 +198,14 @@ def fused_spatial_pair_q(x, sh1, sc1, g1, sh2, sc2, g2, qkv_q, qkv_s, out_q,
     N, S, D = x.shape
     H = w1_q.shape[1]
     d = D // num_heads
-    # serving row counts stay single-tile so weights stream once per call
-    # (the attention's fp32 qkv slab bounds the tile, not the 768-row branch
-    # budget); training never runs int8, so big-N tiling is a fallback only
-    fpt = _frames_per_tile(N, S, max_rows=1152)
+    # same 768-row tile budget as the branch kernels: a bigger tile would
+    # stream weights once per call, but the attention core's per-(head,
+    # frame) unroll grows with the tile and 8 frames/tile blew Mosaic
+    # compile time past 10 min at flagship size (4/tile compiles in ~1 min)
+    fpt = _frames_per_tile(N, S)
     n_tiles = N // fpt
     tile_rows = fpt * S
-    nc = _mlp_chunks(H)
+    nc = _pair_chunks(H)
     hc = H // nc
     cos = jnp.tile(jnp.cos(rope_freqs.astype(jnp.float32)), (N, 1))
     sin = jnp.tile(jnp.sin(rope_freqs.astype(jnp.float32)), (N, 1))
@@ -275,14 +287,16 @@ def fused_temporal_pair_q(x, sh1, sc1, g1, sh2, sc2, g2, qkv_q, qkv_s, out_q,
     cos = jnp.tile(cos_t[n_ctx:T], (B, num_heads))
     sin = jnp.tile(sin_t[n_ctx:T], (B, num_heads))
     xf = x.reshape(N * S, D)
-    nc = _mlp_chunks(H)
+    nc = _pair_chunks(H)
     hc = H // nc
+    # UNSHAPED full specs for every grid-constant operand: a shaped block
+    # with a constant index map still enters the grid pipeline and gets a
+    # second (double-buffer) VMEM allocation — for the 2x (B*n_ctx*S, D)
+    # K/V cache that alone is ~38 MB of dead VMEM at B=8 and measured +70
+    # us/call; an unshaped spec is a one-shot bulk copy outside the
+    # pipeline (same mechanism as the gridless fused_temporal_step_q).
+    # Only the w1/w2 hidden-dim chunks ride the pipeline.
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
-
-    def const(shape):  # whole-array block, constant over the chunk grid
-        return pl.BlockSpec(shape, lambda c: tuple(0 for _ in shape),
-                            memory_space=pltpu.VMEM)
-
     rows = xf.shape[0]
     out = pl.pallas_call(
         functools.partial(
@@ -293,11 +307,11 @@ def fused_temporal_pair_q(x, sh1, sc1, g1, sh2, sc2, g2, qkv_q, qkv_s, out_q,
         out_shape=jax.ShapeDtypeStruct(xf.shape, x.dtype),
         grid=(nc,),
         in_specs=[
-            const((rows, D)),                          # x
-            const(sh1.shape), const(sc1.shape), const(g1.shape),
-            const(sh2.shape), const(sc2.shape), const(g2.shape),
-            const(qkv_q.shape), const((1, 3 * D)),     # qkv_q/s
-            const(out_q.shape), const((1, D)), const((1, D)),  # out_q/s/b
+            full,                                      # x
+            full, full, full,                          # sh1, sc1, g1
+            full, full, full,                          # sh2, sc2, g2
+            full, full,                                # qkv_q/s
+            full, full, full,                          # out_q/s/b
             pl.BlockSpec((D, hc), lambda c: (0, c),
                          memory_space=pltpu.VMEM),     # w1_q chunk
             pl.BlockSpec((1, hc), lambda c: (0, c),
@@ -306,13 +320,13 @@ def fused_temporal_pair_q(x, sh1, sc1, g1, sh2, sc2, g2, qkv_q, qkv_s, out_q,
                          memory_space=pltpu.VMEM),     # b1 chunk
             pl.BlockSpec((hc, D), lambda c: (c, 0),
                          memory_space=pltpu.VMEM),     # w2_q chunk
-            const((1, D)), const((1, D)),              # w2_s, b2
-            const(k_ctx.shape), const(v_ctx.shape),    # context K/V
-            const(cos.shape), const(sin.shape),        # rope slot tables
-            const(R.shape), const(seg.shape),          # R, seg
+            full, full,                                # w2_s, b2
+            full, full,                                # context K/V
+            full, full,                                # rope slot tables
+            full, full,                                # R, seg
             pl.BlockSpec(memory_space=pltpu.SMEM),     # bias (T, T)
         ],
-        out_specs=const((rows, D)),
+        out_specs=full,
         scratch_shapes=[
             pltpu.VMEM((rows, D), jnp.int8),
             pltpu.VMEM((rows, 1), jnp.float32),

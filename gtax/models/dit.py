@@ -694,13 +694,25 @@ def _mlp_branch_call(mp, h, sh, sc, g, dtype):
     )
 
 
+# Paired attention+MLP kernels win where per-call DMA/dispatch overhead
+# dominates (few live rows: B=1 exact serving measured 7.99 -> 8.16 f/s) but
+# LOSE at batched row counts — at B=8 the fused Mosaic bodies run slower
+# than the two separate kernels by more than the inter-kernel glue they
+# eliminate (measured 14.1 -> 12.0 f/s aggregate; per-kernel: temporal pair
+# 232 us vs 84+80 us sequential in-situ). Chunk-count, BlockSpec-shape and
+# stacked-dot variants did not close the gap (docs/PERF.md round 3), so the
+# pair is gated to small live-row counts where it measurably wins.
+_PAIR_MAX_FRAMES = 2
+
+
 def _spatial_pair_call(bp, h, sh1, sc1, g1, sh2, sc2, g2, freqs, num_heads,
                        dtype):
     """Spatial attention + spatial MLP for one block: a single paired kernel
-    on the int8 path (halves serving dispatches — gtax.kernels.pair),
-    sequential branch kernels otherwise. Bit-equal either way."""
+    on the int8 path at small live-row counts (halves serving dispatches —
+    gtax.kernels.pair), sequential branch kernels otherwise. Bit-equal
+    either way."""
     ap, mp = bp["s_attn"], bp["s_mlp"]
-    if "kernel_q" in ap["qkv"]:
+    if "kernel_q" in ap["qkv"] and h.shape[0] <= _PAIR_MAX_FRAMES:
         from gtax.kernels.pair import fused_spatial_pair_q
 
         return fused_spatial_pair_q(
@@ -718,9 +730,9 @@ def _temporal_pair_step_call(bp, h, th1, tc1, tg1, th2, tc2, tg2, k_ctx,
                              v_ctx, freqs, valid, num_heads, n_ctx, n_live,
                              dtype):
     """Incremental temporal step + temporal MLP for one block (paired int8
-    kernel / sequential fallback)."""
+    kernel at small live-row counts / sequential fallback)."""
     ap, mp = bp["t_attn"], bp["t_mlp"]
-    if "kernel_q" in ap["qkv"]:
+    if "kernel_q" in ap["qkv"] and h.shape[0] <= _PAIR_MAX_FRAMES:
         from gtax.kernels.pair import fused_temporal_pair_q
 
         return fused_temporal_pair_q(
@@ -731,13 +743,22 @@ def _temporal_pair_step_call(bp, h, th1, tc1, tg1, th2, tc2, tg2, k_ctx,
             mp["fc2"]["bias"], k_ctx, v_ctx, freqs, valid, num_heads, n_ctx,
             n_live=n_live,
         )
-    from gtax.kernels.block import fused_temporal_step
+    if "kernel_q" in ap["qkv"]:
+        from gtax.kernels.quant import fused_temporal_step_q
 
-    h = fused_temporal_step(
-        h, th1, tc1, tg1, ap["qkv"]["kernel"].astype(dtype),
-        ap["out"]["kernel"].astype(dtype), ap["out"]["bias"],
-        k_ctx, v_ctx, freqs, valid, num_heads, n_ctx, n_live=n_live,
-    )
+        h = fused_temporal_step_q(
+            h, th1, tc1, tg1, ap["qkv"]["kernel_q"], ap["qkv"]["scale"],
+            ap["out"]["kernel_q"], ap["out"]["scale"], ap["out"]["bias"],
+            k_ctx, v_ctx, freqs, valid, num_heads, n_ctx, n_live=n_live,
+        )
+    else:
+        from gtax.kernels.block import fused_temporal_step
+
+        h = fused_temporal_step(
+            h, th1, tc1, tg1, ap["qkv"]["kernel"].astype(dtype),
+            ap["out"]["kernel"].astype(dtype), ap["out"]["bias"],
+            k_ctx, v_ctx, freqs, valid, num_heads, n_ctx, n_live=n_live,
+        )
     return _mlp_branch_call(mp, h, th2, tc2, tg2, dtype)
 
 
