@@ -161,14 +161,15 @@ def main():
                        "parity_gate_int8_incremental.json)",
         }
         result["fast_mode"] = {
-            "fps": 11.16,
+            "fps": 11.61,
             "config": "GTAX_BENCH_QUANT=int8 GTAX_BENCH_PIPELINE=4 "
                       "GTAX_BENCH_BROADCAST=2",
-            "vs_baseline": 11.39,
+            "vs_baseline": 11.84,
             "quality": "approximate sampling (causality probe 8/8; "
                        "22.6/36.6 dB min/mean PSNR vs exact, "
                        "docs/quant_quality.json); the default incremental "
-                       "mode reaches 8.86 f/s with EXACT sampling",
+                       "mode reaches 8.20 f/s with EXACT sampling "
+                       "(round-3 measurement, docs/PERF.md)",
         }
     print(json.dumps(result))
     return result
@@ -212,11 +213,13 @@ if __name__ == "__main__":
             "unit": "frames/sec", "vs_baseline": None,
             "error": f"accelerator backend unavailable: {_err[:200]}",
             "last_measured_on_v5e": {
-                "fps": 8.86, "vs_baseline": 9.05,
-                "config": "default (int8 W8A8 + fused + incremental, "
-                          "reference-EXACT sampling)",
-                "source": "docs/PERF.md round-2 measurement; exact bf16 "
-                          "4.98 f/s, fastest approximate 11.16 f/s",
+                "fps": 8.20, "vs_baseline": 8.36,
+                "config": "default (int8 W8A8 + fused + incremental + "
+                          "paired kernels + fused VAE, reference-EXACT "
+                          "sampling)",
+                "source": "docs/PERF.md round-3 measurement; exact bf16 "
+                          "4.98 f/s, fastest approximate 11.61 f/s, "
+                          "B=8 aggregate 14.87 f/s",
             },
         }))
         sys.exit(1)
