@@ -456,9 +456,11 @@ def _temporal_step_kernel(x_ref, shift_ref, scale_ref, gate_ref, qkvw_ref,
     o_ref[:] = (x32 + g * y).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "n_ctx", "n_live"))
+@functools.partial(jax.jit, static_argnames=("num_heads", "n_ctx", "n_live",
+                                              "batch_tile"))
 def fused_temporal_step(x, shift, scale, gate, qkv_w, out_w, out_b, k_ctx,
-                        v_ctx, rope_freqs, valid, num_heads, n_ctx, n_live=1):
+                        v_ctx, rope_freqs, valid, num_heads, n_ctx, n_live=1,
+                        batch_tile=None):
     """Incremental temporal branch: x (B*n_live, S, D) = live-frame tokens
     at window slots n_ctx..n_ctx+n_live-1, frame-major within batch;
     k_ctx/v_ctx (B*n_ctx*S, D) post-rope cache (fused_temporal_branch
@@ -479,21 +481,77 @@ def fused_temporal_step(x, shift, scale, gate, qkv_w, out_w, out_b, k_ctx,
     xf = x.reshape(N * S, D)
     out_b = out_b.reshape(1, -1)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    b_pt = batch_tile or _step_batches_per_tile(B, n_live, n_ctx, S)
+    if b_pt == B:
+        out = pl.pallas_call(
+            functools.partial(
+                _temporal_step_kernel, num_heads=num_heads, n_ctx=n_ctx,
+                n_batches=B, seq_len=S, ln_eps=1e-6, mod_eps=1e-6,
+                n_live=n_live,
+            ),
+            out_shape=jax.ShapeDtypeStruct(xf.shape, x.dtype),
+            in_specs=[full] * 13 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+            out_specs=full,
+            interpret=interpret_mode(),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024,
+            ),
+        )(xf, shift, scale, gate, qkv_w, out_w, out_b, k_ctx, v_ctx, cos,
+          sin, R, seg, bias)
+        return out.reshape(N, S, D)
+    # batch-tiled: temporal attention crosses frames WITHIN a batch element
+    # only, so tiles chunk exactly over batch elements — each with its own
+    # live rows AND its slice of the context K/V cache. Lifts the gridless
+    # form's VMEM ceiling (B=16 OOMed at flagship size) and bounds the
+    # per-tile unroll.
+    n_tiles = B // b_pt
+    row_spec = pl.BlockSpec((b_pt * n_live * S, D), lambda t: (t, 0),
+                            memory_space=pltpu.VMEM)
+    ctx_spec = pl.BlockSpec((b_pt * n_ctx * S, D), lambda t: (t, 0),
+                            memory_space=pltpu.VMEM)
+    (shift, scale, gate, cos, sin), fpt_pad = _pad_frame_rows(
+        (shift, scale, gate, cos, sin), b_pt * n_live, n_tiles)
+    frame_spec = pl.BlockSpec((fpt_pad, D), lambda t: (t, 0),
+                              memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(
             _temporal_step_kernel, num_heads=num_heads, n_ctx=n_ctx,
-            n_batches=B, seq_len=S, ln_eps=1e-6, mod_eps=1e-6, n_live=n_live,
+            n_batches=b_pt, seq_len=S, ln_eps=1e-6, mod_eps=1e-6,
+            n_live=n_live,
         ),
         out_shape=jax.ShapeDtypeStruct(xf.shape, x.dtype),
-        in_specs=[full] * 13 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=full,
+        grid=(n_tiles,),
+        in_specs=[
+            row_spec, frame_spec, frame_spec, frame_spec,  # x + adaLN vecs
+            full, full, full,                        # qkv_w, out_w, out_b
+            ctx_spec, ctx_spec,                      # k_ctx, v_ctx
+            frame_spec, frame_spec,                  # cos, sin
+            full, full,                              # R, seg
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # bias
+        ],
+        out_specs=row_spec,
         interpret=interpret_mode(),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024,
-        ),
+        compiler_params=_BRANCH_PARAMS,
     )(xf, shift, scale, gate, qkv_w, out_w, out_b, k_ctx, v_ctx, cos, sin,
       R, seg, bias)
     return out.reshape(N, S, D)
+
+
+def _step_batches_per_tile(B: int, n_live: int, n_ctx: int,
+                           seq_len: int, max_rows: int = 5760) -> int:
+    """Batch elements per tile for the incremental temporal-step kernels.
+    Returns B (the original gridless single-call form, the measured-fastest
+    path) while total live+context rows stay within the proven flagship
+    B=8 envelope; beyond that (B=16 OOMed Mosaic's scoped VMEM), the
+    largest divisor of B whose tile stays within half the envelope (tiled
+    blocks double-buffer)."""
+    per_batch = (n_live + n_ctx) * seq_len
+    if B * per_batch <= max_rows:
+        return B
+    per = max(1, min(B, (max_rows // 2) // per_batch))
+    while B % per:
+        per -= 1
+    return per
 
 
 def temporal_preamble(rope_freqs, valid, B, S, T, num_heads, d, dtype):

@@ -165,10 +165,11 @@ def _temporal_step_kernel_q(x_ref, shift_ref, scale_ref, gate_ref, qkvq_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("num_heads", "n_ctx", "n_live"))
+                   static_argnames=("num_heads", "n_ctx", "n_live",
+                                    "batch_tile"))
 def fused_temporal_step_q(x, shift, scale, gate, qkv_q, qkv_s, out_q, out_s,
                           out_b, k_ctx, v_ctx, rope_freqs, valid, num_heads,
-                          n_ctx, n_live=1):
+                          n_ctx, n_live=1, batch_tile=None):
     """int8 twin of gtax.kernels.block.fused_temporal_step."""
     N, S, D = x.shape
     B = N // n_live
@@ -185,18 +186,56 @@ def fused_temporal_step_q(x, shift, scale, gate, qkv_q, qkv_s, out_q, out_s,
     xf = x.reshape(N * S, D)
     out_b = out_b.reshape(1, -1)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    from gtax.kernels.block import _step_batches_per_tile
+
+    b_pt = batch_tile or _step_batches_per_tile(B, n_live, n_ctx, S)
+    if b_pt == B:
+        out = pl.pallas_call(
+            functools.partial(
+                _temporal_step_kernel_q, num_heads=num_heads, n_ctx=n_ctx,
+                n_batches=B, seq_len=S, ln_eps=1e-6, mod_eps=1e-6,
+                n_live=n_live,
+            ),
+            out_shape=jax.ShapeDtypeStruct(xf.shape, x.dtype),
+            in_specs=[full] * 15 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+            out_specs=full,
+            interpret=interpret_mode(),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024,
+            ),
+        )(xf, shift, scale, gate, qkv_q, qkv_s.reshape(1, -1), out_q,
+          out_s.reshape(1, -1), out_b, k_ctx, v_ctx, cos, sin, R, seg, bias)
+        return out.reshape(N, S, D)
+    # batch-tiled twin of gtax.kernels.block.fused_temporal_step's tiled
+    # form (see _step_batches_per_tile: lifts the B=16 VMEM ceiling)
+    n_tiles = B // b_pt
+    row_spec = pl.BlockSpec((b_pt * n_live * S, D), lambda t: (t, 0),
+                            memory_space=pltpu.VMEM)
+    ctx_spec = pl.BlockSpec((b_pt * n_ctx * S, D), lambda t: (t, 0),
+                            memory_space=pltpu.VMEM)
+    (shift, scale, gate, cos, sin), fpt_pad = _pad_frame_rows(
+        (shift, scale, gate, cos, sin), b_pt * n_live, n_tiles)
+    frame_spec = pl.BlockSpec((fpt_pad, D), lambda t: (t, 0),
+                              memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(
             _temporal_step_kernel_q, num_heads=num_heads, n_ctx=n_ctx,
-            n_batches=B, seq_len=S, ln_eps=1e-6, mod_eps=1e-6, n_live=n_live,
+            n_batches=b_pt, seq_len=S, ln_eps=1e-6, mod_eps=1e-6,
+            n_live=n_live,
         ),
         out_shape=jax.ShapeDtypeStruct(xf.shape, x.dtype),
-        in_specs=[full] * 15 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=full,
+        grid=(n_tiles,),
+        in_specs=[
+            row_spec, frame_spec, frame_spec, frame_spec,  # x + adaLN vecs
+            full, full, full, full, full,            # qkv_q/s, out_q/s/b
+            ctx_spec, ctx_spec,                      # k_ctx, v_ctx
+            frame_spec, frame_spec,                  # cos, sin
+            full, full,                              # R, seg
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # bias
+        ],
+        out_specs=row_spec,
         interpret=interpret_mode(),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024,
-        ),
+        compiler_params=_BRANCH_PARAMS,
     )(xf, shift, scale, gate, qkv_q, qkv_s.reshape(1, -1), out_q,
       out_s.reshape(1, -1), out_b, k_ctx, v_ctx, cos, sin, R, seg, bias)
     return out.reshape(N, S, D)

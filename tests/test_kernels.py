@@ -568,3 +568,59 @@ def test_temporal_step_n_live_matches_full(n_live, B, quant):
             heads, n_ctx, n_live=n_live)
     want = full.reshape(B, T, S, D)[:, n_ctx:].reshape(B * n_live, S, D)
     assert_close(step, want, atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("quant", [False, True])
+def test_temporal_step_batch_tiled_matches_gridless(quant):
+    """The batch-tiled temporal-step form (B=16+ serving; it lifts the
+    gridless form's VMEM ceiling) must equal the gridless single-call form.
+    batch_tile is the explicit static override so the tiled trace actually
+    compiles at CPU test sizes."""
+    import gtax.kernels.block as blk
+
+    T, S, D, heads, B, n_live = 5, 8, 32, 2, 4, 1
+    n_ctx = T - n_live
+    ks = jax.random.split(jax.random.PRNGKey(13), 8)
+    x = jax.random.normal(ks[0], (B * n_live, S, D), jnp.float32)
+    shift = jax.random.normal(ks[1], (B * n_live, D), jnp.float32) * 0.1
+    scale = jax.random.normal(ks[2], (B * n_live, D), jnp.float32) * 0.1
+    gate = jax.random.normal(ks[3], (B * n_live, D), jnp.float32)
+    qkv_w = jax.random.normal(ks[4], (D, 3 * D), jnp.float32) * 0.05
+    out_w = jax.random.normal(ks[5], (D, D), jnp.float32) * 0.05
+    out_b = jnp.zeros((D,), jnp.float32)
+    k_ctx = jax.random.normal(ks[6], (B * n_ctx * S, D), jnp.float32)
+    v_ctx = jax.random.normal(ks[7], (B * n_ctx * S, D), jnp.float32)
+    freqs = jnp.arange(T, dtype=jnp.float32)[:, None] * jnp.linspace(
+        0.1, 1.0, D // heads)[None, :]
+    valid = jnp.asarray([False, True, True, True, True])
+
+    if quant:
+        from gtax.kernels.quant import fused_temporal_step_q, quantize_weight
+
+        qkv_q, qkv_s = quantize_weight(qkv_w)
+        out_q, out_s = quantize_weight(out_w)
+
+        def run(bt):
+            return fused_temporal_step_q(
+                x, shift, scale, gate, qkv_q, qkv_s, out_q, out_s, out_b,
+                k_ctx, v_ctx, freqs, valid, heads, n_ctx, n_live=n_live,
+                batch_tile=bt)
+    else:
+        def run(bt):
+            return blk.fused_temporal_step(
+                x, shift, scale, gate, qkv_w, out_w, out_b, k_ctx, v_ctx,
+                freqs, valid, heads, n_ctx, n_live=n_live, batch_tile=bt)
+
+    ref = run(None)          # gridless (B rows fit at test size)
+    for bt in (2, 1):        # 2 tiles of 2 / 4 tiles of 1
+        got = np.asarray(run(bt))
+        if quant:
+            # fp32 contraction order inside the stacked dots varies with
+            # the GEMM shape, occasionally flipping a dynamic-int8 round by
+            # one step (same effect as the chunked-MLP note in
+            # tests/test_quant.py) — tolerance, not equality
+            np.testing.assert_allclose(got, np.asarray(ref), atol=2e-3,
+                                       rtol=2e-3, err_msg=f"batch_tile={bt}")
+        else:
+            np.testing.assert_array_equal(got, np.asarray(ref),
+                                          err_msg=f"batch_tile={bt}")
