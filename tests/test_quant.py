@@ -244,3 +244,45 @@ def test_quantized_incremental_rollout(random_dit_params):
     e_fast = rel(fast, fp32)     # measured 1.94e-3
     assert e_fast < e_plain * 1.1 + 1e-6, (e_fast, e_plain)
     assert rel(fast, plain) < 1e-3  # measured 5.3e-4 (quant rounding flips)
+
+
+@pytest.mark.parametrize("B,Tl", [(2, 1), (2, 2), (4, 1)])
+def test_quantized_step_matches_full(random_dit_params, B, Tl):
+    """Quantized incremental step vs the full quantized forward's live rows
+    across live-row counts spanning BOTH serving kernel paths: N <= 2 takes
+    the paired attn+MLP kernels, N > 2 the sequential fallback
+    (gtax.models.dit._PAIR_MAX_FRAMES gate). The two must agree with the
+    full-window forward either way."""
+    from gtax.models.dit import (dit_apply, dit_apply_step, dit_cond,
+                                 dit_prefill, quantize_for_inference,
+                                 unstack_for_inference)
+    from gtax.nn import attention as nnattn
+
+    params = quantize_for_inference(
+        unstack_for_inference(random_dit_params, DIT_SMALL), DIT_SMALL)
+    T = DIT_SMALL.max_frames
+    C, H, W = DIT_SMALL.in_channels, DIT_SMALL.input_h, DIT_SMALL.input_w
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, T, C, H, W)) * 0.3
+    t = jnp.concatenate(
+        [jnp.full((B, T - Tl), 15, jnp.int32),
+         jnp.full((B, Tl), 40, jnp.int32)], axis=1)
+    a = jax.random.normal(jax.random.PRNGKey(2), (B, T, 25))
+    valid = jnp.asarray([False] + [True] * (T - 1))
+
+    nnattn.set_backend("fused")
+    try:
+        ref = dit_apply(params, DIT_SMALL, x, t, a, valid,
+                        compute_dtype=jnp.float32)
+        mods = dit_cond(params, DIT_SMALL, t, a, jnp.float32)
+        mods_ctx = jax.tree.map(lambda m: m[:, :-Tl], mods)
+        kv = dit_prefill(params, DIT_SMALL, x[:, :-Tl], mods_ctx,
+                         valid[:-Tl], jnp.float32)
+        mods_last = jax.tree.map(lambda m: m[:, -Tl:], mods)
+        out = dit_apply_step(params, DIT_SMALL, x[:, -Tl:], kv, mods_last,
+                             valid, jnp.float32)
+    finally:
+        nnattn.set_backend("xla")
+    # int8 dynamic-quant rounding can flip by one step between the row
+    # counts (documented above); tolerance, not equality
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref[:, -Tl:]),
+                               atol=2e-3, rtol=2e-3)
