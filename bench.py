@@ -152,7 +152,7 @@ def main():
         # rollout); carry the exact-bf16 and fastest quality-validated
         # approximate modes (measured on the same chip; docs/PERF.md)
         result["exact_bf16_mode"] = {
-            "fps": 4.98,
+            "fps": 4.73,
             "config": "GTAX_BENCH_QUANT=none",
             "quality": "reference-exact sampling, bf16 compute (93.97 dB "
                        "min vs torch fp32 at full size, "

@@ -349,80 +349,55 @@ def _temporal_step_core(q, k, v, kctx, vctx, cos, sin, R, seg, bias_ref,
     v = v.astype(dtype)
     scale_attn = 1.0 / (d**0.5)
 
-    def live_frame(b, i, arr):
-        base = (b * n_live + i) * S
-        return arr[base: base + S]
-
-    def ctx_frame(b, j, arr):
-        base = b * n_ctx * S
-        return arr[base + j * S: base + (j + 1) * S]
-
-    # Every (b, live i, key j) score pair STACKED along rows so the per-head
-    # segment reduce (@ seg) and the probs re-expand (@ seg.T) each run as
-    # ONE MXU dot: the original per-pair loop issued B * n_live * ~T tiny
-    # (S, D) x (D, h) dots, each paying MXU pipeline latency for a 16-lane
-    # result — measured ~40% of the incremental temporal kernel's runtime
-    # at B=8 (docs/PERF.md round 3). Row-wise math is identical (a GEMM is
-    # independent per row), so this is bit-exact vs the looped form.
-    # Pair order per (b, i): context slots 0..n_ctx-1, then live 0..i.
-    q_parts, k_parts, v_parts, biases, groups = [], [], [], [], []
+    # Per-(batch, live, key) loop of small segment-sum dots. A stacked
+    # variant (concatenate all pairs' rows, one (pairs*S, D) x (D, h) dot +
+    # one re-expand dot) was tried in round 3 and reverted: it measured
+    # NEUTRAL everywhere (pair kernel at B=8, bf16 exact rollout) — Mosaic
+    # already inlines the small dots for free — so the simpler loop stays.
+    out_rows = []
     for b in range(n_batches):
+        def live_frame(i, arr, b=b):
+            base = (b * n_live + i) * S
+            return arr[base: base + S]
+
+        def ctx_frame(j, arr, b=b):
+            base = b * n_ctx * S
+            return arr[base + j * S: base + (j + 1) * S]
+
         for i in range(n_live):
-            qi = live_frame(b, i, q)
+            qi = live_frame(i, q)
+            # keys in window-slot order: context 0..n_ctx-1, live 0..i
             kv_pairs = [
-                (ctx_frame(b, j, kctx), ctx_frame(b, j, vctx),
-                 bias_ref[n_ctx + i, j])
+                (ctx_frame(j, kctx), ctx_frame(j, vctx), bias_ref[n_ctx + i, j])
                 for j in range(n_ctx)
             ] + [
-                (live_frame(b, j, k), live_frame(b, j, v),
+                (live_frame(j, k), live_frame(j, v),
                  bias_ref[n_ctx + i, n_ctx + j])
                 for j in range(i + 1)
             ]
-            groups.append(len(kv_pairs))
-            for kj, vj, bj in kv_pairs:
-                q_parts.append(qi)
-                k_parts.append(kj)
-                v_parts.append(vj)
-                biases.append(bj)
-    q_stack = jnp.concatenate(q_parts, axis=0)
-    k_stack = jnp.concatenate(k_parts, axis=0)
-    scores_stack = jnp.dot(
-        (q_stack * k_stack).astype(dtype), seg,
-        preferred_element_type=jnp.float32,
-    ) * scale_attn  # (n_pairs * S, h)
-
-    def pair_slab(arr, n, width=None):
-        del width
-        return arr[n * S:(n + 1) * S]
-
-    probs_parts = []
-    idx = 0
-    for npairs in groups:
-        scores = [pair_slab(scores_stack, idx + j) + biases[idx + j]
-                  for j in range(npairs)]
-        m = scores[0]
-        for s_ij in scores[1:]:
-            m = jnp.maximum(m, s_ij)
-        exps = [jnp.exp(s_ij - m) for s_ij in scores]
-        denom = exps[0]
-        for e in exps[1:]:
-            denom = denom + e
-        probs_parts += [(e / denom).astype(dtype) for e in exps]
-        idx += npairs
-    probs_stack = jnp.concatenate(probs_parts, axis=0)
-    pexp_stack = jnp.dot(
-        probs_stack, seg.T, preferred_element_type=jnp.float32
-    ).astype(dtype)  # (n_pairs * S, D)
-
-    out_rows = []
-    idx = 0
-    for npairs in groups:
-        acc = None
-        for j in range(npairs):
-            term = pair_slab(pexp_stack, idx + j) * v_parts[idx + j]
-            acc = term if acc is None else acc + term
-        out_rows.append(acc)
-        idx += npairs
+            scores = [
+                jnp.dot(
+                    (qi * kj).astype(dtype), seg,
+                    preferred_element_type=jnp.float32,
+                ) * scale_attn + bj
+                for kj, _, bj in kv_pairs
+            ]
+            m = scores[0]
+            for s_ij in scores[1:]:
+                m = jnp.maximum(m, s_ij)
+            exps = [jnp.exp(s_ij - m) for s_ij in scores]
+            denom = exps[0]
+            for e in exps[1:]:
+                denom = denom + e
+            acc = None
+            for (_, vj, _), e in zip(kv_pairs, exps):
+                probs = (e / denom).astype(dtype)
+                pexp = jnp.dot(
+                    probs, seg.T, preferred_element_type=jnp.float32
+                ).astype(dtype)
+                term = pexp * vj
+                acc = term if acc is None else acc + term
+            out_rows.append(acc)
     out = out_rows[0] if len(out_rows) == 1 else jnp.concatenate(
         out_rows, axis=0)
     return out.astype(jnp.float32)
