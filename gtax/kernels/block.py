@@ -143,8 +143,8 @@ def _spatial_attention_core(q, k, v, cos, sin, R, dtype, num_heads, n_frames,
     D = q.shape[-1]
     d = D // num_heads
     scale_attn = 1.0 / (d**0.5)
-    head_outs = []
-    qs_heads, ks_heads = [], []
+    qs_heads, ks_heads, vs_heads = [], [], []
+    score_blocks = []
     for h in range(num_heads):
         sl = slice(h * d, (h + 1) * d)
         qs32, ks32 = q[:, sl], k[:, sl]
@@ -152,24 +152,39 @@ def _spatial_attention_core(q, k, v, cos, sin, R, dtype, num_heads, n_frames,
             qs32, R, preferred_element_type=jnp.float32) * sin).astype(dtype)
         ks = (ks32 * cos + jnp.dot(
             ks32, R, preferred_element_type=jnp.float32) * sin).astype(dtype)
-        vs = v[:, sl].astype(dtype)
+        vs_heads.append(v[:, sl].astype(dtype))
         if qkv_out is not None:
             qs_heads.append(qs)
             ks_heads.append(ks)
+        for n in range(n_frames):
+            fr = slice(n * S, (n + 1) * S)
+            score_blocks.append(jax.lax.dot_general(
+                qs[fr], ks[fr], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale_attn)
+    # One softmax op-chain over all (head, frame) score blocks stacked on the
+    # sublane axis instead of num_heads*n_frames separate chains: the per-row
+    # math (max/exp/sum/div in fp32) is bit-identical, but the VPU runs ~H*F x
+    # fewer instruction dispatches on (S, S) lane-padded buffers (S=144 pads
+    # to 2 lane tiles) — measured win on the incremental serving path.
+    scores = (score_blocks[0] if len(score_blocks) == 1
+              else jnp.concatenate(score_blocks, axis=0))
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dtype)
+    head_outs = []
+    for h in range(num_heads):
+        vs = vs_heads[h]
         frame_outs = []
         for n in range(n_frames):
             fr = slice(n * S, (n + 1) * S)
-            scores = jax.lax.dot_general(
-                qs[fr], ks[fr], (((1,), (1,)), ((), ())),
+            pr = (h * n_frames + n) * S
+            frame_outs.append(jnp.dot(
+                probs[pr:pr + S], vs[fr],
                 preferred_element_type=jnp.float32,
-            ) * scale_attn
-            m = jnp.max(scores, axis=-1, keepdims=True)
-            e = jnp.exp(scores - m)
-            probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dtype)
-            frame_outs.append(
-                jnp.dot(probs, vs[fr], preferred_element_type=jnp.float32)
-            )
-        head_outs.append(jnp.concatenate(frame_outs, axis=0))
+            ))
+        head_outs.append(frame_outs[0] if len(frame_outs) == 1
+                         else jnp.concatenate(frame_outs, axis=0))
     if qkv_out is not None:
         qkv_out[0][:] = jnp.concatenate(qs_heads, axis=-1)
         qkv_out[1][:] = jnp.concatenate(ks_heads, axis=-1)
