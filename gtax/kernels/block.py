@@ -364,12 +364,16 @@ def _temporal_step_core(q, k, v, kctx, vctx, cos, sin, R, seg, bias_ref,
     v = v.astype(dtype)
     scale_attn = 1.0 / (d**0.5)
 
-    # Per-(batch, live, key) loop of small segment-sum dots. A stacked
-    # variant (concatenate all pairs' rows, one (pairs*S, D) x (D, h) dot +
-    # one re-expand dot) was tried in round 3 and reverted: it measured
-    # NEUTRAL everywhere (pair kernel at B=8, bf16 exact rollout) — Mosaic
-    # already inlines the small dots for free — so the simpler loop stays.
-    out_rows = []
+    # Per-(batch, live, key) loop of small segment-sum SCORE dots (a stacked
+    # dot variant measured NEUTRAL in round 3 — Mosaic inlines the small dots
+    # for free) — but the elementwise softmax op-chain and the probs
+    # re-expand are BATCHED across every (batch, live, key) slab: one exp,
+    # one division (on slab-tiled denominators — same op on the same values,
+    # bit-identical to per-slab e/denom), one cast and one (pairs*S, h) x
+    # (h, D) re-expand dot instead of ~n_pairs of each. Same trick as the
+    # spatial core's stacked softmax: the VPU pays per-op dispatch on tiny
+    # lane-padded (S, 16) buffers, so fewer, taller ops win.
+    slab_scores, slab_v, group_sizes = [], [], []
     for b in range(n_batches):
         def live_frame(i, arr, b=b):
             base = (b * n_live + i) * S
@@ -390,29 +394,49 @@ def _temporal_step_core(q, k, v, kctx, vctx, cos, sin, R, seg, bias_ref,
                  bias_ref[n_ctx + i, n_ctx + j])
                 for j in range(i + 1)
             ]
-            scores = [
-                jnp.dot(
+            for kj, vj, bj in kv_pairs:
+                slab_scores.append(jnp.dot(
                     (qi * kj).astype(dtype), seg,
                     preferred_element_type=jnp.float32,
-                ) * scale_attn + bj
-                for kj, _, bj in kv_pairs
-            ]
-            m = scores[0]
-            for s_ij in scores[1:]:
-                m = jnp.maximum(m, s_ij)
-            exps = [jnp.exp(s_ij - m) for s_ij in scores]
-            denom = exps[0]
-            for e in exps[1:]:
-                denom = denom + e
-            acc = None
-            for (_, vj, _), e in zip(kv_pairs, exps):
-                probs = (e / denom).astype(dtype)
-                pexp = jnp.dot(
-                    probs, seg.T, preferred_element_type=jnp.float32
-                ).astype(dtype)
-                term = pexp * vj
-                acc = term if acc is None else acc + term
-            out_rows.append(acc)
+                ) * scale_attn + bj)
+                slab_v.append(vj)
+            group_sizes.append(len(kv_pairs))
+
+    # group maxes (elementwise across each group's slabs, as before)
+    m_slabs, idx = [], 0
+    for P in group_sizes:
+        m = slab_scores[idx]
+        for s_ij in slab_scores[idx + 1: idx + P]:
+            m = jnp.maximum(m, s_ij)
+        m_slabs.extend([m] * P)
+        idx += P
+    cat = jnp.concatenate(slab_scores, axis=0)
+    mcat = cat - jnp.concatenate(m_slabs, axis=0)
+    ecat = jnp.exp(mcat)
+
+    def slab(arr, n):
+        return arr[n * S:(n + 1) * S]
+
+    d_slabs, idx = [], 0
+    for P in group_sizes:
+        denom = slab(ecat, idx)
+        for j in range(1, P):
+            denom = denom + slab(ecat, idx + j)
+        d_slabs.extend([denom] * P)
+        idx += P
+    pcat = (ecat / jnp.concatenate(d_slabs, axis=0)).astype(dtype)
+    pexp_cat = jnp.dot(
+        pcat, seg.T, preferred_element_type=jnp.float32
+    ).astype(dtype)
+
+    out_rows, idx = [], 0
+    for P in group_sizes:
+        acc = None
+        for j in range(P):
+            term = slab(pexp_cat, idx + j) * slab_v[idx + j]
+            acc = term if acc is None else acc + term
+        out_rows.append(acc)
+        idx += P
     out = out_rows[0] if len(out_rows) == 1 else jnp.concatenate(
         out_rows, axis=0)
     return out.astype(jnp.float32)
