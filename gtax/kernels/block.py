@@ -552,17 +552,32 @@ def fused_temporal_step(x, shift, scale, gate, qkv_w, out_w, out_b, k_ctx,
 
 
 def _step_batches_per_tile(B: int, n_live: int, n_ctx: int,
-                           seq_len: int, max_rows: int = 5760) -> int:
+                           seq_len: int, max_pair_rows: int = 5760) -> int:
     """Batch elements per tile for the incremental temporal-step kernels.
     Returns B (the original gridless single-call form, the measured-fastest
-    path) while total live+context rows stay within the proven flagship
+    path) while the kernel's VMEM peak stays within the proven flagship
     B=8 envelope; beyond that (B=16 OOMed Mosaic's scoped VMEM), the
     largest divisor of B whose tile stays within half the envelope (tiled
-    blocks double-buffer)."""
-    per_batch = (n_live + n_ctx) * seq_len
-    if B * per_batch <= max_rows:
+    blocks double-buffer).
+
+    The dominant VMEM term is the batched probs re-expand in
+    _temporal_step_core: a (total_pairs * S, D) fp32 dot output (+ its
+    compute-dtype cast), where total_pairs = sum over live frames of
+    (n_ctx + i + 1) attention (query-frame, key-frame) slabs — NOT the
+    (n_live + n_ctx) * S live+context rows the pre-round-3 per-slab variant
+    peaked at. The guard therefore counts PAIR rows. Calibration: flagship
+    serving (B=8, n_live=1, n_ctx=4, S=144, D=1024) gives 40 slabs = 5760
+    pair rows -> a ~23.6 MB fp32 re-expand + ~11.8 MB bf16 cast, measured to
+    fit v5e's 64 MB scoped VMEM on the real chip (on-chip lane,
+    tests/test_tpu_kernels.py). With n_live == 1 pair rows == frame rows, so
+    every previously-proven single-live shape tiles identically; n_live > 1
+    (pipelined serving) now tiles sooner, bounding the quadratic pair growth
+    the old frame-row guard under-counted (ADVICE r3)."""
+    pairs_per_batch = n_live * n_ctx + n_live * (n_live + 1) // 2
+    per_batch = pairs_per_batch * seq_len
+    if B * per_batch <= max_pair_rows:
         return B
-    per = max(1, min(B, (max_rows // 2) // per_batch))
+    per = max(1, min(B, (max_pair_rows // 2) // per_batch))
     while B % per:
         per -= 1
     return per

@@ -7,10 +7,16 @@ the complete shipped checkpoint key-set, against recorded full-size torch
 forwards (reference model/dit.py:343-376, model/vae.py:306-338).
 
 Fixtures come from scripts/gen_golden_full.py (checkpoints are ~3.7 GB and
-gitignored — run that script once per machine; tests skip when absent).
+gitignored). When absent they are REGENERATED automatically here (~10 min on
+one CPU core, requires torch + /root/reference) — a fresh clone cannot report
+green without this parity lane actually running (VERDICT r3 weak #3). If
+regeneration is impossible the tests FAIL loudly; set
+GTAX_ALLOW_PARITY_SKIP=1 to downgrade that failure to an explicit skip.
 """
 
 import os
+import subprocess
+import sys
 
 import jax.numpy as jnp
 import numpy as np
@@ -22,12 +28,48 @@ from gtax.models.vae import VAE_MODELS, vae_decode, vae_encode
 from tests.conftest import GOLDEN, assert_close
 
 FULL = os.path.join(os.path.dirname(GOLDEN), "golden_full")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_GEN = os.path.join(REPO, "scripts", "gen_golden_full.py")
+_regen_attempted = False
+
+
+def _regenerate():
+    """One regeneration attempt per pytest session (~10 CPU-min)."""
+    global _regen_attempted
+    if _regen_attempted:
+        return
+    _regen_attempted = True
+    try:
+        import torch  # noqa: F401
+    except ImportError:
+        _bail("torch is not importable, cannot regenerate fixtures")
+        return
+    if not os.path.isdir("/root/reference"):
+        _bail("/root/reference is absent, cannot regenerate fixtures")
+        return
+    print("\n[fullsize-parity] fixtures missing — regenerating via "
+          "scripts/gen_golden_full.py (~10 min, one-time)...", flush=True)
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    res = subprocess.run([sys.executable, _GEN], env=env, cwd=REPO,
+                         timeout=3600)
+    if res.returncode != 0:
+        _bail(f"gen_golden_full.py exited {res.returncode}")
+
+
+def _bail(why):
+    msg = (f"full-size parity fixtures unavailable ({why}); the flagship "
+           f"parity gate DID NOT RUN — run scripts/gen_golden_full.py")
+    if os.environ.get("GTAX_ALLOW_PARITY_SKIP") == "1":
+        pytest.skip(msg)
+    pytest.fail(msg, pytrace=False)
 
 
 def _need(name):
     path = os.path.join(FULL, name)
     if not os.path.exists(path):
-        pytest.skip(f"{name} missing — run scripts/gen_golden_full.py")
+        _regenerate()
+    if not os.path.exists(path):
+        _bail(f"{name} still missing after regeneration attempt")
     return path
 
 
