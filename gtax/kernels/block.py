@@ -109,23 +109,29 @@ def _ln_modulate32(x_ref, shift_ref, scale_ref, ln_eps, mod_eps, seq_len):
     return x32, ln * (1.0 + scale + mod_eps) + shift
 
 
+def _rotate_half_lanes(x):
+    """rotate_half (interleaved pairs: out[2i] = -x[2i+1], out[2i+1] = x[2i])
+    over the LANE axis of a full-width (rows, D) slab via two circular lane
+    rolls + an even/odd select — ~4 full-lane-width VPU ops replacing the
+    per-head (d, d) signed-permutation MXU dots (round-4 measured win: the
+    small dots ran at <=16% MXU utilization and half lane width). Pairs never
+    straddle head boundaries (head dim is even), so one full-width roll pair
+    serves every head at once. Exact: a pure permutation + negate, bit-equal
+    to the dot form (whose off-diagonal products were exact zeros)."""
+    D = x.shape[-1]
+    left = pltpu.roll(x, shift=D - 1, axis=1)  # x[j+1] at lane j (shift >= 0)
+    right = pltpu.roll(x, shift=1, axis=1)     # x[j-1] at lane j
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, x.shape[-1]), 1)
+    return jnp.where(lane % 2 == 0, -left, right)
+
+
 def _rope_rotate(x, cos, sin, R):
     """x * cos + rotate_half(x) * sin in fp32 over full-width (rows, D) slabs
-    with per-head tables. rotate_half is head-local (a pairwise permutation),
-    so it runs as num_heads (d, d) signed-permutation dots — bit-identical to
-    one block-diagonal (D, D) dot (every off-block product is an exact zero)
-    at ~num_heads x fewer fp32 MXU flops, and the kernel streams a d*d
-    constant instead of D*D (16 KB vs 4 MB at flagship size; the (D, D)
-    constant's per-call DMA + fp32 dot were ~2/3 of the incremental temporal
-    kernel's runtime — docs/PERF.md round 2)."""
-    d = R.shape[0]
-    D = x.shape[-1]
-    parts = [
-        jnp.dot(x[:, i:i + d], R, preferred_element_type=jnp.float32)
-        for i in range(0, D, d)
-    ]
-    rh = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
-    return x * cos + rh * sin
+    with per-head tables. R (the (d, d) signed-permutation constant) is kept
+    in the signature for the backward kernels' adjoint; the forward
+    rotate_half runs as full-width lane rolls (_rotate_half_lanes)."""
+    del R
+    return x * cos + _rotate_half_lanes(x) * sin
 
 
 def _spatial_attention_core(q, k, v, cos, sin, R, dtype, num_heads, n_frames,
@@ -143,19 +149,26 @@ def _spatial_attention_core(q, k, v, cos, sin, R, dtype, num_heads, n_frames,
     D = q.shape[-1]
     d = D // num_heads
     scale_attn = 1.0 / (d**0.5)
-    qs_heads, ks_heads, vs_heads = [], [], []
+    # Full-width rope: the per-head (rows, d) cos/sin tables are identical
+    # across heads, so tile them to D lanes once and apply rope to the whole
+    # q/k slab — one elementwise chain + two lane rolls instead of num_heads
+    # half-lane-width chains + 2*num_heads small MXU dots (bit-identical; see
+    # _rotate_half_lanes).
+    if cos.shape[-1] == D:
+        cosD, sinD = cos, sin
+    else:
+        reps = D // cos.shape[-1]
+        cosD = jnp.concatenate([cos] * reps, axis=-1)
+        sinD = jnp.concatenate([sin] * reps, axis=-1)
+    qr = (q * cosD + _rotate_half_lanes(q) * sinD).astype(dtype)
+    kr = (k * cosD + _rotate_half_lanes(k) * sinD).astype(dtype)
+    vb = v.astype(dtype)
+    vs_heads = []
     score_blocks = []
     for h in range(num_heads):
         sl = slice(h * d, (h + 1) * d)
-        qs32, ks32 = q[:, sl], k[:, sl]
-        qs = (qs32 * cos + jnp.dot(
-            qs32, R, preferred_element_type=jnp.float32) * sin).astype(dtype)
-        ks = (ks32 * cos + jnp.dot(
-            ks32, R, preferred_element_type=jnp.float32) * sin).astype(dtype)
-        vs_heads.append(v[:, sl].astype(dtype))
-        if qkv_out is not None:
-            qs_heads.append(qs)
-            ks_heads.append(ks)
+        qs, ks = qr[:, sl], kr[:, sl]
+        vs_heads.append(vb[:, sl])
         for n in range(n_frames):
             fr = slice(n * S, (n + 1) * S)
             score_blocks.append(jax.lax.dot_general(
@@ -186,9 +199,9 @@ def _spatial_attention_core(q, k, v, cos, sin, R, dtype, num_heads, n_frames,
         head_outs.append(frame_outs[0] if len(frame_outs) == 1
                          else jnp.concatenate(frame_outs, axis=0))
     if qkv_out is not None:
-        qkv_out[0][:] = jnp.concatenate(qs_heads, axis=-1)
-        qkv_out[1][:] = jnp.concatenate(ks_heads, axis=-1)
-        qkv_out[2][:] = v.astype(dtype)
+        qkv_out[0][:] = qr
+        qkv_out[1][:] = kr
+        qkv_out[2][:] = vb
     # heads are contiguous d-slices of D in (h, d) order
     return jnp.concatenate(head_outs, axis=-1)
 

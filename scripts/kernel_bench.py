@@ -59,6 +59,34 @@ def time_chain(call, x, calls):
     return min(t1 - t0, time.perf_counter() - t1) / calls * 1e6
 
 
+def time_chain_diff(call, x, calls):
+    """us/call via chain-length differencing: times K- and 4K-call chains and
+    takes the slope, cancelling the tunnel's per-program fetch+dispatch
+    constant (measured ~26-29 ms on 2026-08-20 — at K=100-200 that constant
+    alone is 130-290 us/call of pure measurement artifact)."""
+
+    def make(length):
+        @jax.jit
+        def chain(x0):
+            def body(c, _):
+                return call(c), ()
+            y, _ = jax.lax.scan(body, x0, None, length=length)
+            return jnp.sum(y.astype(jnp.float32))
+        return chain
+
+    short, long_ = make(calls), make(4 * calls)
+    float(short(x)), float(long_(x))  # compile + warm
+    ts, tl = [], []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        float(short(x))
+        ts.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(long_(x))
+        tl.append(time.perf_counter() - t0)
+    return (min(tl) - min(ts)) / (3 * calls) * 1e6
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--calls", type=int, default=200)
@@ -117,7 +145,7 @@ def main():
                     k_ctx, v_ctx, temporal_freqs, valid, HEADS, N_CTX)
             if name == "temporal_step_q" and B > 8:
                 continue  # gridless full-VMEM kernel OOMs past B=8
-            us = time_chain(fn, x, args.calls)
+            us = time_chain_diff(fn, x, args.calls)
             row.append((B, round(us, 1), round(floor, 1)))
             print(f"{name:20s} B={B:<3d} {us:8.1f} us/call "
                   f"(int8-GEMM floor {floor:.1f})", flush=True)

@@ -136,9 +136,10 @@ def build(variant, N, S, D, num_heads):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--calls", type=int, default=200)
+    p.add_argument("--frames", type=int, default=5)
     args = p.parse_args()
 
-    N, S, D, H = 5, 144, 1024, 16
+    N, S, D, H = args.frames, 144, 1024, 16
     d = D // H
     key = jax.random.PRNGKey(0)
     ks = jax.random.split(key, 8)
@@ -163,20 +164,27 @@ def main():
         # K dependent calls in ONE program, timed via a host fetch of a
         # reduced scalar — through the axon tunnel block_until_ready returns
         # without waiting (same harness as scripts/fwd_bench.py)
-        @jax.jit
-        def chain(x0, ops):
-            def body(c, _):
-                y = call(c, *ops[1:])
-                return y, ()
-            y, _ = jax.lax.scan(body, x0, None, length=args.calls)
-            return jnp.sum(y.astype(jnp.float32))
+        def mk(length):
+            @jax.jit
+            def chain(x0, ops):
+                def body(c, _):
+                    y = call(c, *ops[1:])
+                    return y, ()
+                y, _ = jax.lax.scan(body, x0, None, length=length)
+                return jnp.sum(y.astype(jnp.float32))
+            return chain
 
-        float(chain(xf, operands))  # compile + fetch
-        t0 = time.perf_counter()
-        float(chain(xf, operands))
-        t1 = time.perf_counter()
-        float(chain(xf, operands))
-        per = min(t1 - t0, time.perf_counter() - t1) / args.calls * 1e6
+        # chain-length differencing cancels the tunnel's per-program
+        # fetch+dispatch constant (~26-29 ms measured 2026-08-20)
+        short, long_ = mk(args.calls), mk(4 * args.calls)
+        float(short(xf, operands)), float(long_(xf, operands))
+        ts, tl = [], []
+        for _ in range(2):
+            t0 = time.perf_counter(); float(short(xf, operands))
+            ts.append(time.perf_counter() - t0)
+            t0 = time.perf_counter(); float(long_(xf, operands))
+            tl.append(time.perf_counter() - t0)
+        per = (min(tl) - min(ts)) / (3 * args.calls) * 1e6
         results[variant] = round(per, 1)
         print(f"{variant:12s} {per:8.1f} us/call", flush=True)
 
