@@ -111,6 +111,11 @@ def build_parser():
                    help="decode at most N frames per VAE call (bounds "
                         "decoder memory for long rollouts; bit-identical "
                         "output)")
+    p.add_argument("--aot_dir", type=str, default=None,
+                   help="directory of AOT-serialized executables (gtax.aot):"
+                        " the first run compiles and saves; later runs load "
+                        "the compiled executable and skip the ~4-minute "
+                        "serving-layout compile (cold start in seconds)")
     p.add_argument("--dit_model", type=str, default="DiT-S/2",
                    help="model preset (gtax.models.dit.DiT_MODELS); "
                         "'DiT-debug' + empty --dit_model_path gives a "
@@ -141,6 +146,7 @@ def main(argv=None):
         mesh_data=args.mesh_data,
         mesh_model=args.mesh_model,
         decode_chunk=args.decode_chunk,
+        aot_dir=args.aot_dir,
         dit_model=args.dit_model,
         vae_model=args.vae_model,
     )

@@ -53,6 +53,9 @@ def build_parser():
                    help="reject requests beyond this num_frames")
     p.add_argument("--dit_model", default="DiT-S/2")
     p.add_argument("--vae_model", default="vit-l-20-shallow-encoder")
+    p.add_argument("--aot_dir", default=None,
+                   help="AOT executable cache dir (gtax.aot): restart the "
+                        "server in seconds instead of recompiling")
     return p
 
 
@@ -69,6 +72,7 @@ def make_server(args):
     cfg = ServingConfig(
         dtype=args.dtype, attention_backend=args.attention_backend,
         quantize=args.quantize, noise_steps=args.noise_steps,
+        aot_dir=args.aot_dir,
         dit_model=args.dit_model, vae_model=args.vae_model,
     )
     gen = VideoGenerator.load(args.dit_model_path, args.vae_model_path, cfg)

@@ -54,6 +54,11 @@ class ServingConfig:
     # memory for long rollouts; None = one batched decode like the reference,
     # generate.py:238-242). Bit-identical output either way (per-frame model).
     decode_chunk: int | None = None
+    # directory of AOT-serialized executables (gtax.aot): first run compiles
+    # and saves, later processes load the compiled executable and skip the
+    # ~4-minute unstacked-layout compile entirely. Single-mesh paths only
+    # (mesh_data/mesh_model runners keep the jit path).
+    aot_dir: str | None = None
     dit_model: str = "DiT-S/2"
     vae_model: str = "vit-l-20-shallow-encoder"
 
@@ -164,6 +169,12 @@ class VideoGenerator:
             lambda vp, lat: decode_frames(vp, self.vae_cfg, lat, dtype,
                                           fused=vae_fused))
         self._dp_runners = {}
+        self._aot = None
+        self._aot_runners = {}
+        if cfg.aot_dir and cfg.mesh_data <= 1 and cfg.mesh_model <= 1:
+            from gtax.aot import AotCache
+
+            self._aot = AotCache(cfg.aot_dir)
         # stage timings of the most recent generate() call (seconds):
         # {"encode_s", "rollout_s", "decode_s"} — rollout_s is the number to
         # compare against bench.py / docs/PERF.md (those time the rollout)
@@ -193,6 +204,22 @@ class VideoGenerator:
                 lambda k: vae_init(k, vae_cfg))(jax.random.PRNGKey(1))
         return cls(dit_params, vae_params, cfg)
 
+    def _aot_call(self, tag, fn, args, static=None):
+        """Run the jitted fn through the AOT executable cache when enabled
+        (gtax.aot): first process pays the compile and saves the serialized
+        executable; later processes load it and skip XLA entirely."""
+        static = static or {}
+        if self._aot is None:
+            return fn(*args, **static)
+        from gtax.aot import signature_key
+
+        key = signature_key(tag, args, {}, static)
+        runner = self._aot_runners.get(key)
+        if runner is None:
+            runner = self._aot.load_or_compile(fn, tag, args, static=static)
+            self._aot_runners[key] = runner
+        return runner(*args)
+
     def _decode_frames(self, lat):
         """VAE-decode latents to uint8 pixels, optionally in frame chunks.
 
@@ -205,7 +232,8 @@ class VideoGenerator:
         chunk = self.cfg.decode_chunk
         T = lat.shape[1]
         if chunk is None or chunk >= T:
-            return self._decode(self.vae_params, lat)
+            return self._aot_call("decode", self._decode,
+                                  (self.vae_params, lat))
         # equal-size chunks reuse ONE compiled decode; the ragged tail (if
         # any) compiles once more
         parts = [
@@ -264,7 +292,8 @@ class VideoGenerator:
         n_gen = num_frames - n_prompt
         with attention_mod.backend_scope(self._backend):
             t0 = time.perf_counter()
-            latents = self._encode(self.vae_params, video)
+            latents = self._aot_call("encode", self._encode,
+                                     (self.vae_params, video))
             latents.block_until_ready()
             t1 = time.perf_counter()
             if self._mesh is not None:
@@ -276,10 +305,14 @@ class VideoGenerator:
             if self.cfg.mesh_data > 1:
                 lat = self._dp_runner(n_gen)(self.dit_params, latents,
                                              actions, rng)
+            elif noise is None:
+                lat = self._aot_call(
+                    "rollout", self._rollout,
+                    (self.dit_params, latents, actions, rng),
+                    static={"num_gen_frames": n_gen})
             else:
-                kw = {} if noise is None else {"noise": noise}
                 lat = self._rollout(self.dit_params, latents, actions, rng,
-                                    num_gen_frames=n_gen, **kw)
+                                    num_gen_frames=n_gen, noise=noise)
             lat.block_until_ready()
             t2 = time.perf_counter()
             if jax.process_count() > 1 and self.cfg.mesh_data > 1:

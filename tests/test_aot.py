@@ -1,0 +1,73 @@
+"""AOT-serialized serving executables (gtax.aot): cold start without the
+serving-layout compile.
+
+The reference loads weights and runs eagerly (generate.py:122-146 — no
+compile to skip); on TPU the unstacked serving layout's first compile is
+~4 minutes, so shipping the compiled executable IS the load-and-go parity
+story. These tests pin the cache contract on the CPU backend: first use
+compiles + saves, a fresh process-equivalent (new VideoGenerator) loads
+without compiling, results are bit-identical, and a corrupt artifact falls
+back to a fresh compile instead of failing."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from gtax.serving import ServingConfig, VideoGenerator
+
+CFG = ServingConfig(
+    dtype="float32", attention_backend="xla", unstack=False,
+    noise_steps=3, dit_model="DiT-debug", vae_model="vae-debug",
+)
+
+
+def _prompt(gen, t0=2):
+    h, w = gen.vae_cfg.input_height, gen.vae_cfg.input_width
+    return np.random.default_rng(0).random((1, t0, 3, h, w), np.float32)
+
+
+def _events(gen, kind, tag_substr=""):
+    return [e for e in gen._aot.events
+            if e[0] == kind and tag_substr in e[1]]
+
+
+def test_aot_compile_save_then_load_bit_identical(tmp_path):
+    cfg = dataclasses.replace(CFG, aot_dir=str(tmp_path))
+    g1 = VideoGenerator.load("", "", cfg)
+    out1 = g1.generate(_prompt(g1), num_frames=4, seed=3)
+    # first use: encode/rollout/decode each compiled and saved
+    assert len(_events(g1, "compile")) == 3
+    assert len(_events(g1, "save")) == 3
+    assert len(list(tmp_path.glob("*.aotx"))) == 3
+
+    # a fresh generator (new process equivalent) must LOAD, not compile
+    g2 = VideoGenerator.load("", "", cfg)
+    out2 = g2.generate(_prompt(g2), num_frames=4, seed=3)
+    assert len(_events(g2, "load")) == 3
+    assert not _events(g2, "compile")
+    np.testing.assert_array_equal(out1, out2)
+
+    # new shapes are new cache entries, not collisions (rollout: new
+    # num_gen_frames; decode: new latent length; encode: same prompt shape)
+    g2.generate(_prompt(g2), num_frames=5, seed=3)
+    assert len(_events(g2, "compile")) == 2
+    assert len(list(tmp_path.glob("*.aotx"))) == 5
+
+
+def test_aot_corrupt_artifact_falls_back_to_compile(tmp_path):
+    cfg = dataclasses.replace(CFG, aot_dir=str(tmp_path))
+    g1 = VideoGenerator.load("", "", cfg)
+    out1 = g1.generate(_prompt(g1), num_frames=4, seed=5)
+    for p in tmp_path.glob("*.aotx"):
+        p.write_bytes(b"not a pickle")
+    g2 = VideoGenerator.load("", "", cfg)
+    out2 = g2.generate(_prompt(g2), num_frames=4, seed=5)
+    assert len(_events(g2, "load_failed")) == 3
+    assert len(_events(g2, "compile")) == 3
+    np.testing.assert_array_equal(out1, out2)
+
+
+def test_aot_off_by_default():
+    g = VideoGenerator.load("", "", CFG)
+    assert g._aot is None
