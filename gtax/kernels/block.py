@@ -163,18 +163,26 @@ def _spatial_attention_core(q, k, v, cos, sin, R, dtype, num_heads, n_frames,
     qr = (q * cosD + _rotate_half_lanes(q) * sinD).astype(dtype)
     kr = (k * cosD + _rotate_half_lanes(k) * sinD).astype(dtype)
     vb = v.astype(dtype)
-    vs_heads = []
+    # Per-head BATCHED dots over frames: one 3D dot_general with the frame
+    # axis as a batch dim — (F, S, d) x (F, S, d) contracting d — instead of
+    # a small (S, d) x (d, S) dot per (head, frame). Mosaic lowers batch
+    # dims natively (tpu.matmul dot_dimension_numbers), and the per-dot MXU
+    # issue/weight-load latency of 2*H*F small k=64 dots measured ~30 us of
+    # the B=8 int8 kernel's 67 us (scripts/b8_ablation.py: sp_no_dots);
+    # batching over frames cut the kernel 84 -> 71 us/call same-run. The
+    # (fpt*S, d) -> (fpt, S, d) leading-dim split is layout-free, and the
+    # contraction order per (frame, head) block is unchanged —
+    # bit-identical to the looped form (CPU-pinned).
     score_blocks = []
     for h in range(num_heads):
         sl = slice(h * d, (h + 1) * d)
-        qs, ks = qr[:, sl], kr[:, sl]
-        vs_heads.append(vb[:, sl])
-        for n in range(n_frames):
-            fr = slice(n * S, (n + 1) * S)
-            score_blocks.append(jax.lax.dot_general(
-                qs[fr], ks[fr], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * scale_attn)
+        q3 = qr[:, sl].reshape(n_frames, S, d)
+        k3 = kr[:, sl].reshape(n_frames, S, d)
+        s3 = jax.lax.dot_general(
+            q3, k3, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale_attn
+        score_blocks.append(s3.reshape(n_frames * S, S))
     # One softmax op-chain over all (head, frame) score blocks stacked on the
     # sublane axis instead of num_heads*n_frames separate chains: the per-row
     # math (max/exp/sum/div in fp32) is bit-identical, but the VPU runs ~H*F x
@@ -187,17 +195,14 @@ def _spatial_attention_core(q, k, v, cos, sin, R, dtype, num_heads, n_frames,
     probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dtype)
     head_outs = []
     for h in range(num_heads):
-        vs = vs_heads[h]
-        frame_outs = []
-        for n in range(n_frames):
-            fr = slice(n * S, (n + 1) * S)
-            pr = (h * n_frames + n) * S
-            frame_outs.append(jnp.dot(
-                probs[pr:pr + S], vs[fr],
-                preferred_element_type=jnp.float32,
-            ))
-        head_outs.append(frame_outs[0] if len(frame_outs) == 1
-                         else jnp.concatenate(frame_outs, axis=0))
+        v3 = vb[:, h * d:(h + 1) * d].reshape(n_frames, S, d)
+        p3 = probs[h * n_frames * S:(h + 1) * n_frames * S].reshape(
+            n_frames, S, S)
+        o3 = jax.lax.dot_general(
+            p3, v3, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        head_outs.append(o3.reshape(n_frames * S, d))
     if qkv_out is not None:
         qkv_out[0][:] = qr
         qkv_out[1][:] = kr

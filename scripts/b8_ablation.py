@@ -88,7 +88,23 @@ def _spatial_abl(x_ref, shift_ref, scale_ref, gate_ref, qkvq_ref, qkvs_ref,
         else:
             qr, kr = q.astype(x.dtype), k.astype(x.dtype)
         vb = v.astype(x.dtype)
-        if flags["dots"]:
+        if flags.get("batched_dots"):
+            # per-head BATCHED dot over frames: (F, S, d) x (F, S, d)
+            # contracting d with batch dim F — 16+16 batched matmuls
+            # instead of 256 small ones (tests Mosaic's batch-dim matmul)
+            score_blocks = []
+            for h in range(num_heads):
+                sl = slice(h * d, (h + 1) * d)
+                q3 = qr[:, sl].reshape(n_frames, seq_len, d)
+                k3 = kr[:, sl].reshape(n_frames, seq_len, d)
+                s3 = jax.lax.dot_general(
+                    q3, k3, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                ) * scale_attn
+                score_blocks.append(
+                    s3.reshape(n_frames * seq_len, seq_len))
+            scores = jnp.concatenate(score_blocks, axis=0)
+        elif flags["dots"]:
             score_blocks = []
             for h in range(num_heads):
                 sl = slice(h * d, (h + 1) * d)
@@ -111,7 +127,19 @@ def _spatial_abl(x_ref, shift_ref, scale_ref, gate_ref, qkvq_ref, qkvs_ref,
             probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
         else:
             probs = scores.astype(x.dtype)
-        if flags["dots"]:
+        if flags.get("batched_dots"):
+            head_outs = []
+            for h in range(num_heads):
+                v3 = vb[:, h * d:(h + 1) * d].reshape(n_frames, seq_len, d)
+                p3 = probs[h * n_frames * seq_len:
+                           (h + 1) * n_frames * seq_len].reshape(
+                    n_frames, seq_len, seq_len)
+                o3 = jax.lax.dot_general(
+                    p3, v3, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+                head_outs.append(o3.reshape(n_frames * seq_len, d))
+            attn_out = jnp.concatenate(head_outs, axis=-1)
+        elif flags["dots"]:
             head_outs = []
             for h in range(num_heads):
                 vs = vb[:, h * d:(h + 1) * d]
@@ -309,6 +337,7 @@ def main():
 
         for name, flags in (
             ("sp_full", {}),
+            ("sp_batched_dots", {"batched_dots": True}),
             ("sp_no_softmax", {"softmax": False}),
             ("sp_no_rope", {"rope": False}),
             ("sp_no_dots", {"dots": False}),
