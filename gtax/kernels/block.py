@@ -572,11 +572,19 @@ def fused_temporal_step(x, shift, scale, gate, qkv_w, out_w, out_b, k_ctx,
 def _step_batches_per_tile(B: int, n_live: int, n_ctx: int,
                            seq_len: int, max_pair_rows: int = 5760) -> int:
     """Batch elements per tile for the incremental temporal-step kernels.
-    Returns B (the original gridless single-call form, the measured-fastest
-    path) while the kernel's VMEM peak stays within the proven flagship
-    B=8 envelope; beyond that (B=16 OOMed Mosaic's scoped VMEM), the
-    largest divisor of B whose tile stays within half the envelope (tiled
-    blocks double-buffer).
+
+    Round 4 (measured, B=8 flagship): ONE batch element per tile beats the
+    gridless single-call form 57.8 vs 87.7 us/call — temporal attention
+    crosses frames within a batch element only, so per-element tiles let
+    the Pallas grid pipeline double-buffer each element's context-K/V DMA
+    (~1.2 MB/element) and live rows behind the previous element's compute,
+    where the gridless call serialises the whole ~16 MB input fetch before
+    the body. B <= 2 keeps the gridless form: at those sizes the whole
+    fetch is small, the paired kernels own the production path
+    (_PAIR_MAX_FRAMES), and gridless B=1 was the round-3 measured winner.
+
+    The guard below still bounds the per-tile VMEM peak for huge
+    n_live/n_ctx combinations (pipelined serving).
 
     The dominant VMEM term is the batched probs re-expand in
     _temporal_step_core: a (total_pairs * S, D) fp32 dot output (+ its
@@ -593,12 +601,11 @@ def _step_batches_per_tile(B: int, n_live: int, n_ctx: int,
     the old frame-row guard under-counted (ADVICE r3)."""
     pairs_per_batch = n_live * n_ctx + n_live * (n_live + 1) // 2
     per_batch = pairs_per_batch * seq_len
-    if B * per_batch <= max_pair_rows:
+    if B <= 2 and B * per_batch <= max_pair_rows:
         return B
-    per = max(1, min(B, (max_pair_rows // 2) // per_batch))
-    while B % per:
-        per -= 1
-    return per
+    # B > 2 (or an oversized pipelined tile): one batch element per tile —
+    # the measured-fastest form AND the VMEM-bounded one
+    return 1
 
 
 def temporal_preamble(rope_freqs, valid, B, S, T, num_heads, d, dtype):
