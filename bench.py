@@ -152,7 +152,7 @@ def main():
         # rollout); carry the exact-bf16 and fastest quality-validated
         # approximate modes (measured on the same chip; docs/PERF.md)
         result["exact_bf16_mode"] = {
-            "fps": 4.73,
+            "fps": 5.03,
             "config": "GTAX_BENCH_QUANT=none",
             "quality": "reference-exact sampling, bf16 compute (93.97 dB "
                        "min vs torch fp32 at full size, "
@@ -161,15 +161,15 @@ def main():
                        "parity_gate_int8_incremental.json)",
         }
         result["fast_mode"] = {
-            "fps": 11.61,
+            "fps": 12.32,
             "config": "GTAX_BENCH_QUANT=int8 GTAX_BENCH_PIPELINE=4 "
                       "GTAX_BENCH_BROADCAST=2",
-            "vs_baseline": 11.84,
+            "vs_baseline": 12.57,
             "quality": "approximate sampling (causality probe 8/8; "
                        "22.6/36.6 dB min/mean PSNR vs exact, "
                        "docs/quant_quality.json); the default incremental "
-                       "mode reaches 8.20 f/s with EXACT sampling "
-                       "(round-3 measurement, docs/PERF.md)",
+                       "mode reaches 9.08 f/s with EXACT sampling "
+                       "(round-4 measurement, docs/PERF.md)",
         }
     print(json.dumps(result))
     return result
@@ -213,13 +213,13 @@ if __name__ == "__main__":
             "unit": "frames/sec", "vs_baseline": None,
             "error": f"accelerator backend unavailable: {_err[:200]}",
             "last_measured_on_v5e": {
-                "fps": 8.20, "vs_baseline": 8.36,
+                "fps": 9.08, "vs_baseline": 9.27,
                 "config": "default (int8 W8A8 + fused + incremental + "
                           "paired kernels + fused VAE, reference-EXACT "
                           "sampling)",
-                "source": "docs/PERF.md round-3 measurement; exact bf16 "
-                          "4.98 f/s, fastest approximate 11.61 f/s, "
-                          "B=8 aggregate 14.87 f/s",
+                "source": "docs/PERF.md round-4 measurement; exact bf16 "
+                          "5.03 f/s, fastest approximate 12.32 f/s, "
+                          "B=8 aggregate 16.93 f/s",
             },
         }))
         sys.exit(1)
