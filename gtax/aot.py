@@ -67,11 +67,14 @@ class AotCache:
     def _path(self, key: str) -> str:
         return os.path.join(self.dir, f"{key}.aotx")
 
-    def load_or_compile(self, fn, tag: str, args, kwargs=None, static=None):
+    def load_or_compile(self, fn, tag: str, args, kwargs=None, static=None,
+                        force_compile: bool = False):
         """fn: a jax.jit-wrapped callable. Returns a runner taking the same
         NON-STATIC (args, kwargs); static kwargs are baked into the
         executable (they select the compiled program, exactly as jit's
-        static_argnames do)."""
+        static_argnames do). force_compile skips the artifact (the caller's
+        escape hatch when a LOADED executable failed at call time — see
+        gtax.serving._aot_call)."""
         kwargs = dict(kwargs or {})
         static = dict(static or {})
         key = signature_key(tag, args, kwargs, static)
@@ -81,7 +84,7 @@ class AotCache:
             serialize,
         )
 
-        if os.path.exists(path):
+        if os.path.exists(path) and not force_compile:
             try:
                 with open(path, "rb") as f:
                     payload, in_tree, out_tree, n_dev = pickle.load(f)
@@ -92,7 +95,7 @@ class AotCache:
                     payload, in_tree, out_tree,
                     execution_devices=jax.devices()[:n_dev])
                 self.events.append(("load", path))
-                return _Runner(compiled)
+                return _Runner(compiled, from_cache=True)
             except Exception as e:  # stale jaxlib, other chip, corrupt file
                 self.events.append(("load_failed", f"{path}: {e!r}"))
         compiled = fn.lower(*args, **kwargs, **static).compile()
@@ -112,10 +115,14 @@ class AotCache:
 
 class _Runner:
     """Uniform call wrapper over a jax Compiled: accepts the original
-    (args, kwargs) minus statics — the Compiled's own calling convention."""
+    (args, kwargs) minus statics — the Compiled's own calling convention.
+    from_cache marks deserialized executables so callers can fall back to a
+    fresh compile if one fails at CALL time (rare XLA AOT-loader runtime
+    faults surface on execute, not on load)."""
 
-    def __init__(self, compiled):
+    def __init__(self, compiled, from_cache=False):
         self.compiled = compiled
+        self.from_cache = from_cache
 
     def __call__(self, *args, **kwargs):
         return self.compiled(*args, **kwargs)

@@ -218,7 +218,20 @@ class VideoGenerator:
         if runner is None:
             runner = self._aot.load_or_compile(fn, tag, args, static=static)
             self._aot_runners[key] = runner
-        return runner(*args)
+        try:
+            return runner(*args)
+        except Exception as e:
+            # a DESERIALIZED executable can fail at call time (XLA AOT
+            # loader runtime faults surface on execute, not load) — fall
+            # back to a fresh compile once; genuine compute errors from a
+            # freshly-compiled executable propagate
+            if not getattr(runner, "from_cache", False):
+                raise
+            self._aot.events.append(("call_failed", f"{tag}: {e!r}"))
+            runner = self._aot.load_or_compile(fn, tag, args, static=static,
+                                               force_compile=True)
+            self._aot_runners[key] = runner
+            return runner(*args)
 
     def _decode_frames(self, lat):
         """VAE-decode latents to uint8 pixels, optionally in frame chunks.

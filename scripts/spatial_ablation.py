@@ -2,6 +2,11 @@
 the ~37us/call above GEMM ideal go? Times kernel variants with pieces
 removed (attention, rope, dynamic activation quant) on the real chip.
 
+SUPERSEDED (round 4): this harness's kernel copy predates the lane-roll
+rope, stacked softmax, and frame-batched 3D dots — use
+scripts/b8_ablation.py, which mirrors the CURRENT cores, for new
+measurements. Kept because docs/PERF.md's round-2/3 records cite it.
+
 Context (docs/PERF.md): the int8 forward carries ~0.59 ms/fwd of spatial
 overhead vs its int8-GEMM floor; the frame-batched masked big-dot variant
 made it WORSE (0.84 -> 1.05 ms/fwd), so the small per-(head, frame) dots are

@@ -41,17 +41,21 @@ def test_aot_compile_save_then_load_bit_identical(tmp_path):
     assert len(_events(g1, "save")) == 3
     assert len(list(tmp_path.glob("*.aotx"))) == 3
 
-    # a fresh generator (new process equivalent) must LOAD, not compile
+    # a fresh generator (new process equivalent) must LOAD, not compile —
+    # except for the rare XLA AOT-loader call-time fault, where the runner
+    # falls back to ONE fresh compile (call_failed event) and the output
+    # must still be identical
     g2 = VideoGenerator.load("", "", cfg)
     out2 = g2.generate(_prompt(g2), num_frames=4, seed=3)
     assert len(_events(g2, "load")) == 3
-    assert not _events(g2, "compile")
+    n_fallbacks = len(_events(g2, "call_failed"))
+    assert len(_events(g2, "compile")) == n_fallbacks
     np.testing.assert_array_equal(out1, out2)
 
     # new shapes are new cache entries, not collisions (rollout: new
     # num_gen_frames; decode: new latent length; encode: same prompt shape)
     g2.generate(_prompt(g2), num_frames=5, seed=3)
-    assert len(_events(g2, "compile")) == 2
+    assert len(_events(g2, "compile")) == 2 + n_fallbacks
     assert len(list(tmp_path.glob("*.aotx"))) == 5
 
 

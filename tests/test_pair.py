@@ -70,8 +70,13 @@ def test_temporal_pair_equals_sequential(pair_inputs, n_live):
     k_ctx = jax.random.normal(ks[0], (B * n_ctx * S, D), jnp.bfloat16)
     v_ctx = jax.random.normal(ks[1], (B * n_ctx * S, D), jnp.bfloat16)
 
+    # batch_tile=B pins the sequential step to its GRIDLESS form — the
+    # layout the pair kernel fuses (round 4's default tiles the standalone
+    # step at B>2; tiled vs gridless differ in last-bit dot accumulation
+    # order and are compared under rtol in test_kernels instead)
     seq = fused_temporal_step_q(x, sh1, sc1, g1, *attn, k_ctx, v_ctx, freqs,
-                                valid, num_heads, n_ctx, n_live=n_live)
+                                valid, num_heads, n_ctx, n_live=n_live,
+                                batch_tile=x.shape[0] // n_live)
     seq = fused_mlp_branch_q(seq, sh2, sc2, g2, *mlp)
     got = fused_temporal_pair_q(x, sh1, sc1, g1, sh2, sc2, g2, *attn, *mlp,
                                 k_ctx, v_ctx, freqs, valid, num_heads,
