@@ -219,11 +219,19 @@ class VideoGenerator:
             runner = self._aot.load_or_compile(fn, tag, args, static=static)
             self._aot_runners[key] = runner
         try:
-            return runner(*args)
+            out = runner(*args)
+            if (getattr(runner, "from_cache", False)
+                    and not getattr(runner, "validated", False)):
+                # XLA AOT-loader runtime faults surface ASYNCHRONOUSLY
+                # (on a later buffer sync, not the dispatch) — block on a
+                # loaded runner's first result so a fault lands in this
+                # try block instead of the caller's block_until_ready
+                jax.block_until_ready(out)
+                runner.validated = True
+            return out
         except Exception as e:
-            # a DESERIALIZED executable can fail at call time (XLA AOT
-            # loader runtime faults surface on execute, not load) — fall
-            # back to a fresh compile once; genuine compute errors from a
+            # a DESERIALIZED executable can fail at call time — fall back
+            # to a fresh compile once; genuine compute errors from a
             # freshly-compiled executable propagate
             if not getattr(runner, "from_cache", False):
                 raise
