@@ -59,7 +59,11 @@ class AotCache:
 
     def __init__(self, cache_dir: str):
         self.dir = cache_dir
-        os.makedirs(cache_dir, exist_ok=True)
+        # TRUST ASSUMPTION: artifacts are unpickled on load (inherent to
+        # jax.experimental.serialize_executable), so aot_dir must be a
+        # private, trusted directory — a pre-populated or attacker-writable
+        # cache is arbitrary code execution. Create it owner-only.
+        os.makedirs(cache_dir, mode=0o700, exist_ok=True)
         # load/compile/save events of this process, newest last — the
         # cold-start observability hook (tests + `gtax-generate --verbose`)
         self.events: list[tuple[str, str]] = []

@@ -56,10 +56,18 @@ _BWD_PARAMS = pltpu.CompilerParams(
 # fp32 weight-grad accumulators); smaller row tiles keep VMEM bounded.
 # Round 4: 576 rows (4 frames) halves the weight-grad accumulators'
 # revisit traffic (~32 MB fp32 read-modify-written per tile) vs the 320-row
-# form's 20 tiles at flagship B=8 — measured step win, still inside the
-# 110 MB scoped-VMEM budget on the real chip (GTAX_BWD_ROWS overrides for
-# experiments).
-_BWD_MAX_ROWS = int(os.environ.get("GTAX_BWD_ROWS", "576"))
+# form's 20 tiles at flagship B=8 — measured step win. The 576-row tile's
+# live set needed the scoped-VMEM budget raised from 110 to the 121 MB in
+# _BWD_PARAMS above (fits the real chip's 128 MB VMEM with headroom).
+# GTAX_BWD_ROWS overrides for experiments; values below the per-frame
+# seq_len degrade to 1-frame tiles (see _frames_per_tile). Read at import
+# time; a non-integer value fails the import loudly on purpose.
+try:
+    _BWD_MAX_ROWS = max(1, int(os.environ.get("GTAX_BWD_ROWS", "576")))
+except ValueError as _e:  # pragma: no cover - config error path
+    raise ValueError(
+        f"GTAX_BWD_ROWS must be an integer, got "
+        f"{os.environ.get('GTAX_BWD_ROWS')!r}") from _e
 
 
 def _seg_sum_frames(rows32, seq_len, n_frames_pad):

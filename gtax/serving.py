@@ -175,6 +175,21 @@ class VideoGenerator:
             from gtax.aot import AotCache
 
             self._aot = AotCache(cfg.aot_dir)
+            # the abstract call signature alone does NOT identify a compiled
+            # rollout: noise_steps, backend, pipeline/broadcast/cache modes,
+            # quantize and dtype are closure-captured in the jitted fn and
+            # change the program without changing any arg shape. Bake every
+            # semantics-affecting config field into the artifact tag so two
+            # configs can never collide on one executable.
+            import hashlib as _hashlib
+
+            sem = {f.name: getattr(cfg, f.name)
+                   for f in dataclasses.fields(cfg)
+                   if f.name not in ("aot_dir",)}
+            self._aot_tag = "@" + _hashlib.sha256(
+                repr(sorted(sem.items())).encode()).hexdigest()[:12]
+        else:
+            self._aot_tag = ""
         # stage timings of the most recent generate() call (seconds):
         # {"encode_s", "rollout_s", "decode_s"} — rollout_s is the number to
         # compare against bench.py / docs/PERF.md (those time the rollout)
@@ -213,6 +228,7 @@ class VideoGenerator:
             return fn(*args, **static)
         from gtax.aot import signature_key
 
+        tag = tag + self._aot_tag
         key = signature_key(tag, args, {}, static)
         runner = self._aot_runners.get(key)
         if runner is None:

@@ -75,3 +75,34 @@ def test_aot_corrupt_artifact_falls_back_to_compile(tmp_path):
 def test_aot_off_by_default():
     g = VideoGenerator.load("", "", CFG)
     assert g._aot is None
+
+
+def test_aot_config_semantics_keyed(tmp_path):
+    """Two configs with IDENTICAL arg shapes must not collide on one
+    executable: noise_steps (and every other semantics-affecting
+    ServingConfig field) is closure-captured in the jitted rollout, so it
+    must be part of the artifact key (round-4 advisor finding). A 5-step
+    rollout run against a cache populated by a 3-step config must compile
+    its own artifacts, and its output must equal the cache-free output."""
+    cfg3 = dataclasses.replace(CFG, aot_dir=str(tmp_path))
+    cfg5 = dataclasses.replace(CFG, aot_dir=str(tmp_path), noise_steps=5)
+    assert (VideoGenerator.load("", "", cfg3)._aot_tag
+            != VideoGenerator.load("", "", cfg5)._aot_tag)
+
+    g3 = VideoGenerator.load("", "", cfg3)
+    g3.generate(_prompt(g3), num_frames=4, seed=7)
+    n_after_3 = len(list(tmp_path.glob("*.aotx")))
+
+    ref = VideoGenerator.load(
+        "", "", dataclasses.replace(CFG, noise_steps=5))
+    want = ref.generate(_prompt(ref), num_frames=4, seed=7)
+
+    g5 = VideoGenerator.load("", "", cfg5)
+    out = g5.generate(_prompt(g5), num_frames=4, seed=7)
+    # rollout differs (noise_steps baked into the tag); encode/decode are
+    # genuinely identical programs and may load from the 3-step run only if
+    # their tags match — which they don't, since the tag covers the whole
+    # config. So all three recompile.
+    assert len(_events(g5, "load")) == 0
+    assert len(list(tmp_path.glob("*.aotx"))) == n_after_3 + 3
+    np.testing.assert_array_equal(out, want)
