@@ -116,6 +116,10 @@ def build_parser():
                         " the first run compiles and saves; later runs load "
                         "the compiled executable and skip the ~4-minute "
                         "serving-layout compile (cold start in seconds)")
+    p.add_argument("--no_prewarm", action="store_true",
+                   help="with --aot_dir: skip the background dummy "
+                        "execution that pre-uploads loaded executables to "
+                        "the chip during prompt preparation")
     p.add_argument("--dit_model", type=str, default="DiT-S/2",
                    help="model preset (gtax.models.dit.DiT_MODELS); "
                         "'DiT-debug' + empty --dit_model_path gives a "
@@ -152,6 +156,15 @@ def main(argv=None):
     )
     gen = VideoGenerator.load(args.dit_model_path, args.vae_model_path, cfg)
     dit_cfg, vae_cfg = gen.dit_cfg, gen.vae_cfg
+
+    if args.aot_dir and not args.no_prewarm:
+        # dispatch dummy executions of the loaded AOT executables in the
+        # background NOW: on tunnelled chips the first execution pays a
+        # one-time upload/link (docs/SERVING.md), which this overlaps with
+        # the prompt IO below instead of the user's first generate()
+        gen.prewarm(num_frames=args.total_frames, batch_size=args.batch,
+                    n_prompt=4 if args.start_frame is None else 1,
+                    use_actions=args.use_actions)
 
     total_frames = args.total_frames
     n_prompt = 4 if args.start_frame is None else 1

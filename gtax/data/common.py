@@ -39,6 +39,43 @@ def _resize_frame(frame: np.ndarray, h: int, w: int) -> np.ndarray:
         return out if frame.dtype == np.uint8 else out.astype(np.float32) / 255.0
 
 
+def decode_strip_clip_u8(
+    jpg_bytes: bytes,
+    n_frames: int = _SPLIT_N,
+    target_h: int = FRAME_HEIGHT,
+    target_w: int = FRAME_WIDTH,
+) -> np.ndarray:
+    """JPEG strip bytes -> (N, target_h, target_w, 3) uint8 RGB clip, fused
+    decode + split + resize on the FAST host path (cv2/libjpeg-turbo when
+    available, PIL fallback).
+
+    This is the uint8 channel-last producer for the device-side float
+    conversion (gtax.train.trainer.as_float_video): the host skips the
+    float32 cast + CHW transpose (the reference pays both on host,
+    web_dataset.py:105-107) and the host->device transfer shrinks 4x."""
+    try:
+        import cv2
+
+        bgr = cv2.imdecode(np.frombuffer(jpg_bytes, np.uint8),
+                           cv2.IMREAD_COLOR)
+        strip = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+    except Exception:
+        import io
+
+        from PIL import Image
+
+        strip = np.asarray(
+            Image.open(io.BytesIO(jpg_bytes)).convert("RGB"))
+    h, total_w, _ = strip.shape
+    w = total_w // n_frames
+    frames = strip.reshape(h, n_frames, w, 3).transpose(1, 0, 2, 3)
+    out = np.empty((n_frames, target_h, target_w, 3), dtype=np.uint8)
+    for i in range(n_frames):
+        out[i] = _resize_frame(np.ascontiguousarray(frames[i]),
+                               target_h, target_w)
+    return out
+
+
 class ClipTransform:
     """strip (H, N*W, 3) uint8 -> clip (N, 3, target_h, target_w) float32 [0,1]."""
 

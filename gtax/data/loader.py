@@ -172,9 +172,17 @@ class DataLoader:
                     if stop.is_set():
                         return
                     is_latents = "latents" in sample
-                    batch_vid.append(np.asarray(
-                        sample["latents" if is_latents else "video"],
-                        np.float32))
+                    if "video_u8" in sample:
+                        # uint8 channel-last pixels: stacked as-is; the
+                        # float cast + CHW transpose happen ON DEVICE
+                        # (gtax.train.trainer.as_float_video) — 4x less
+                        # host->device transfer than float32
+                        batch_vid.append(np.asarray(sample["video_u8"],
+                                                    np.uint8))
+                    else:
+                        batch_vid.append(np.asarray(
+                            sample["latents" if is_latents else "video"],
+                            np.float32))
                     if "actions" in sample:
                         batch_act.append(np.asarray(sample["actions"], np.float32))
                     if len(batch_vid) == self.batch_size:

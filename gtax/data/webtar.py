@@ -126,6 +126,8 @@ class WebTarDataset:
         num_workers: int = 1,
         transform: ClipTransform | None = None,
         size: int | None = None,
+        decode_workers: int = 0,
+        pixel_u8: bool = False,
     ):
         self.split = split
         self.return_actions = return_actions
@@ -147,6 +149,21 @@ class WebTarDataset:
         self.worker_index = worker_index
         self.num_workers = num_workers
         self.transform = transform or ClipTransform()
+        # decode_workers > 0: JPEG decode + split/resize run on a thread
+        # pool with an order-preserving bounded lookahead (PIL/cv2 release
+        # the GIL). The tar STREAM stays sequential — samples are yielded,
+        # and the cursor advanced, in stream order exactly as with 0 —
+        # so resume semantics are unchanged. 0 = decode inline (legacy).
+        # The single-threaded decode path measures ~2x too slow to feed the
+        # flagship B=8 train step (scripts/loader_bench.py).
+        self.decode_workers = decode_workers
+        # pixel_u8: yield {"video_u8": (T, H, W, 3) uint8} via the fused
+        # cv2 decode+split+resize path instead of {"video": float32 CHW} —
+        # the float cast + transpose move to the DEVICE
+        # (gtax.train.trainer.as_float_video) and the host->device transfer
+        # shrinks 4x. Same resize math; JPEG decoder may differ by +-1 LSB
+        # (libjpeg-turbo vs PIL's libjpeg).
+        self.pixel_u8 = pixel_u8
         # resumable cursor: (epoch, shard position within this worker's list,
         # samples consumed within that shard)
         self.cursor = [0, 0, 0]
@@ -194,41 +211,102 @@ class WebTarDataset:
             item["actions"] = actions_to_one_hot(actions)
         return item
 
+    def _make_item_raw(self, raw: dict):
+        """Raw tar-member bytes -> sample item. The pixel_u8 fast path
+        decodes straight from JPEG bytes (fused cv2) and never builds the
+        full-strip RGB intermediate the legacy path does."""
+        if not self.pixel_u8:
+            return self._make_item(decode_sample(raw))
+        from gtax.data.common import decode_strip_clip_u8
+
+        jpg = raw.get("jpg", raw.get("jpeg"))
+        if jpg is None:
+            return None
+        tf = self.transform
+        item = {"video_u8": decode_strip_clip_u8(
+            jpg, n_frames=tf.n_frames, target_h=tf.target_h,
+            target_w=tf.target_w)}
+        if self.return_actions:
+            actions = None
+            if "json" in raw:
+                actions = json.loads(raw["json"].decode()).get("actions_int")
+            if actions is None:
+                return None
+            item["actions"] = actions_to_one_hot(actions)
+        return item
+
+    def _decoded_items(self, raw_iter, pool):
+        """decode_sample + _make_item over a raw-sample stream, in stream
+        order. With a pool, up to 2*decode_workers decodes run ahead on
+        threads; results are still consumed FIFO so downstream cursor math
+        is identical to the inline path."""
+        if pool is None:
+            for raw in raw_iter:
+                yield self._make_item_raw(raw)
+            return
+        import collections
+
+        futs: collections.deque = collections.deque()
+
+        def work(raw):
+            return self._make_item_raw(raw)
+
+        for raw in raw_iter:
+            futs.append(pool.submit(work, raw))
+            if len(futs) > 2 * self.decode_workers:
+                yield futs.popleft().result()
+        while futs:
+            yield futs.popleft().result()
+
     def __iter__(self):
         rng = random.Random(self.seed + 17 * self.worker_index)
         buffer: list = []
         epoch, start_shard, start_sample = self.cursor
-        while True:
-            shards = self._worker_shards(epoch)
-            for si in range(start_shard, len(shards)):
-                self.cursor = [epoch, si, 0]
-                skip = start_sample
-                start_sample = 0
-                try:
-                    fobj = _open_shard(shards[si], self.token)
-                    for raw in iter_tar_samples(fobj):
-                        if skip > 0:
+        pool = None
+        if self.decode_workers > 0:
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = ThreadPoolExecutor(
+                self.decode_workers,
+                thread_name_prefix="gtax-webtar-decode")
+        try:
+            while True:
+                shards = self._worker_shards(epoch)
+                for si in range(start_shard, len(shards)):
+                    self.cursor = [epoch, si, 0]
+                    skip = start_sample
+                    start_sample = 0
+                    try:
+                        fobj = _open_shard(shards[si], self.token)
+                        raw_iter = iter_tar_samples(fobj)
+                        while skip > 0:
+                            if next(raw_iter, None) is None:
+                                break
                             skip -= 1
                             self.cursor[2] += 1
-                            continue
-                        item = self._make_item(decode_sample(raw))
-                        self.cursor[2] += 1
-                        if item is None:
-                            continue
-                        if self.shuffle_buffer > 1:
-                            buffer.append(item)
-                            if len(buffer) >= self.shuffle_buffer:
-                                yield buffer.pop(rng.randrange(len(buffer)))
-                        else:
-                            yield item
-                except Exception as e:
-                    # mirror wds.warn_and_continue (web_dataset.py:113)
-                    print(f"[gtax.data] shard {shards[si]} failed: {e!r}; skipping")
-                    continue
-            start_shard = 0
-            while buffer:
-                yield buffer.pop(rng.randrange(len(buffer)))
-            epoch += 1
-            self.cursor = [epoch, 0, 0]
-            if not self.resampled:
-                return
+                        for item in self._decoded_items(raw_iter, pool):
+                            self.cursor[2] += 1
+                            if item is None:
+                                continue
+                            if self.shuffle_buffer > 1:
+                                buffer.append(item)
+                                if len(buffer) >= self.shuffle_buffer:
+                                    yield buffer.pop(
+                                        rng.randrange(len(buffer)))
+                            else:
+                                yield item
+                    except Exception as e:
+                        # mirror wds.warn_and_continue (web_dataset.py:113)
+                        print(f"[gtax.data] shard {shards[si]} failed: "
+                              f"{e!r}; skipping")
+                        continue
+                start_shard = 0
+                while buffer:
+                    yield buffer.pop(rng.randrange(len(buffer)))
+                epoch += 1
+                self.cursor = [epoch, 0, 0]
+                if not self.resampled:
+                    return
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=False, cancel_futures=True)

@@ -78,6 +78,40 @@ def _qdot(a32, wq_ref, ws_ref):
     return acc.astype(jnp.float32) * sa * ws_ref[:]
 
 
+_GELU_C = 0.7978845608028654  # sqrt(2/pi)
+_GELU_A = 0.044715
+# sup |gelu(x)| over x <= -0.7518 (the non-monotone tail's extremum)
+_GELU_MIN_ABS = 0.17004
+
+
+def _gelu_tanh(h):
+    """tanh-approx gelu (same formula as jax.nn.gelu(approximate=True))."""
+    u = _GELU_C * (h + _GELU_A * h * h * h)
+    return 0.5 * h * (1.0 + jnp.tanh(u))
+
+
+def _gelu_quant_rows(h, approx_gelu):
+    """gelu(h) -> dynamic per-row int8, with the quant scale derived from
+    the PRE-gelu row max instead of a second pass over the gelu output:
+    gelu is monotone above -0.7518 and |gelu| <= 0.17004 below, so
+    sup|gelu(row)| == max(gelu(max(row)), 0.17004) EXACTLY whenever the
+    row's gelu max is attained in the monotone region (and a tight upper
+    bound — at most 0.17 absolute — otherwise, i.e. only on all-near-zero
+    rows where the residual quant error is bounded by 0.0007/element).
+    This removes one full (rows, chunk) materialise+scan stage from the MLP
+    epilogue — measured 78.0 -> 70.6 us/call at flagship B=8 together with
+    the nc=4 chunking (scripts/r5_serving_exp.py, round 5); bit-identical
+    bf16 outputs on the same shapes. The erf ('exact') gelu keeps the
+    two-pass dynamic path."""
+    if not approx_gelu:
+        g = jax.nn.gelu(h, approximate=False)
+        return _quant_rows(g)
+    mx = jnp.max(h, axis=-1, keepdims=True)
+    hs = jnp.maximum(_gelu_tanh(mx), _GELU_MIN_ABS) * (1.0 / 127.0)
+    hq = jnp.round(_gelu_tanh(h) * (1.0 / hs)).astype(jnp.int8)
+    return hq, hs
+
+
 def _spatial_kernel_q(x_ref, shift_ref, scale_ref, gate_ref, qkvq_ref,
                       qkvs_ref, outq_ref, outs_ref, outb_ref, cos_ref,
                       sin_ref, rot_ref, o_ref, *, num_heads, n_frames,
@@ -244,7 +278,7 @@ def fused_temporal_step_q(x, shift, scale, gate, qkv_q, qkv_s, out_q, out_s,
 def _mlp_kernel_q(x_ref, shift_ref, scale_ref, gate_ref, w1q_ref, w1s_ref,
                   b1_ref, w2q_ref, w2s_ref, b2_ref, o_ref, qmod_ref, qs_ref,
                   acc_ref, *, seq_len, ln_eps, mod_eps, approx_gelu,
-                  n_chunks):
+                  n_chunks, chunk_axis=1):
     """W8A8 twin of gtax.kernels.block._mlp_kernel (shared LN/modulate):
     both MLP GEMMs int8; the hidden activation re-quantizes per row after
     the fp32 GELU.
@@ -257,8 +291,12 @@ def _mlp_kernel_q(x_ref, shift_ref, scale_ref, gate_ref, w1q_ref, w1s_ref,
     VMEM scratch — round 1's chunked-MLP mistake was recomputing them per
     chunk — and fc2 partials accumulate fp32 in scratch. n_chunks=1
     degenerates to the unchunked single-pass kernel (training row-tiles,
-    interpret tests, H too small to split)."""
-    c = pl.program_id(1)  # grid = (row tiles, H chunks); chunks iterate fast
+    interpret tests, H too small to split).
+
+    The grid is 1-D (H chunks; chunk_axis=0) when the rows fit one tile —
+    the serving shapes' measured-fast form (round 5) — else 2-D
+    (row tiles, H chunks; chunk_axis=1) with chunks iterating fast."""
+    c = pl.program_id(chunk_axis)
 
     @pl.when(c == 0)
     def _():
@@ -278,8 +316,7 @@ def _mlp_kernel_q(x_ref, shift_ref, scale_ref, gate_ref, w1q_ref, w1s_ref,
     )
     h = (acc1.astype(jnp.float32) * qs_ref[:] * w1s_ref[:]
          + b1_ref[0].astype(jnp.float32))
-    h = jax.nn.gelu(h, approximate=approx_gelu)
-    hq, hs = _quant_rows(h)
+    hq, hs = _gelu_quant_rows(h, approx_gelu)
     part = jax.lax.dot_general(
         hq, w2q_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
@@ -395,11 +432,18 @@ def fused_temporal_branch_q(x, shift, scale, gate, qkv_q, qkv_s, out_q,
     return out.reshape(N, S, D)
 
 
-def _mlp_chunks(h: int) -> int:
-    """Largest H split in {8, 4, 2, 1} whose chunk width stays a lane-tile
-    multiple (128): measured on v5e, 8 chunks of the flagship H=4096 run the
-    kernel at ~15.5 us/call vs 20.6 unchunked (int8-DMA floor ~10.4)."""
-    for nc in (8, 4, 2):
+def _mlp_chunks(h: int, rows: int = 0) -> int:
+    """H split whose chunk width stays a lane-tile multiple (128).
+
+    Small row counts (B=1 serving, 144 rows): 8 chunks — the kernel is
+    weight-DMA-bound and finer chunks pipeline the weight fetch (measured
+    15.5 us/call vs 20.6 unchunked, round 2). Large row counts (batched
+    serving, >=576 rows): 4 chunks — the kernel is compute-bound and the
+    fc2 fp32-accumulator read-modify-write scales with the chunk count
+    (measured 70.6 us/call nc=4 vs 72.5 nc=8 at B=8 flagship, round 5,
+    scripts/r5_serving_exp.py)."""
+    prefer = (4, 8, 2) if rows >= 576 else (8, 4, 2)
+    for nc in prefer:
         if h % nc == 0 and (h // nc) % 128 == 0:
             return nc
     return 1
@@ -415,39 +459,62 @@ def fused_mlp_branch_q(x, shift, scale, gate, w1_q, w1_s, b1, w2_q, w2_s,
     xf = x.reshape(N * S, D)
     b1 = b1.reshape(1, H)
     b2 = b2.reshape(1, D)
-    fpt = _frames_per_tile(N, S)
+    # the int8 MLP's per-tile live set is small (int8 qmod + one H-chunk),
+    # so batched serving shapes (8 frames = 1152 rows) stay in ONE tile:
+    # measured 72.5 vs 78.0 us/call at B=8 for 1 vs 2 row tiles (round 5)
+    fpt = _frames_per_tile(N, S, max_rows=1152)
     n_tiles = N // fpt
     tile_rows = fpt * S
-    nc = _mlp_chunks(H)
+    nc = _mlp_chunks(H, tile_rows)
     hc = H // nc
-    row_spec = pl.BlockSpec((tile_rows, D), lambda t, c: (t, 0),
-                            memory_space=pltpu.VMEM)
+    # 1-D grid (H chunks only) when a single row tile covers the call —
+    # the measured-fast serving form (round 5: the 2-D (1, nc) grid paid
+    # ~3 us/call of extra grid machinery at B=8); 2-D otherwise.
+    one_tile = n_tiles == 1
     (shift, scale, gate), fpt_pad = _pad_frame_rows(
         (shift, scale, gate), fpt, n_tiles)
-    frame_spec = pl.BlockSpec((fpt_pad, D), lambda t, c: (t, 0),
-                              memory_space=pltpu.VMEM)
+    if one_tile:
+        tix = lambda c: (0, 0)          # noqa: E731 — row blocks
+        cix = lambda c: (0, c)          # noqa: E731 — chunk-indexed cols
+        w2ix = lambda c: (c, 0)         # noqa: E731
+        fix = lambda c: (0, 0)          # noqa: E731
+        grid = (nc,)
+        semantics = ("arbitrary",)
+    else:
+        tix = lambda t, c: (t, 0)       # noqa: E731
+        cix = lambda t, c: (0, c)       # noqa: E731
+        w2ix = lambda t, c: (c, 0)      # noqa: E731
+        fix = lambda t, c: (t, 0)       # noqa: E731
+        grid = (n_tiles, nc)
+        semantics = ("arbitrary", "arbitrary")
+    row_spec = pl.BlockSpec((tile_rows, D), tix, memory_space=pltpu.VMEM)
+    frame_spec = pl.BlockSpec((fpt_pad, D), fix, memory_space=pltpu.VMEM)
 
     def hchunk(rows, cols):  # rows x (H chunk) slabs, chunk-indexed
-        return pl.BlockSpec((rows, cols), lambda t, c: (0, c),
-                            memory_space=pltpu.VMEM)
+        return pl.BlockSpec((rows, cols), cix, memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
         functools.partial(
             _mlp_kernel_q, seq_len=S, ln_eps=1e-6, mod_eps=1e-6,
             approx_gelu=approx_gelu, n_chunks=nc,
+            chunk_axis=0 if one_tile else 1,
         ),
         out_shape=jax.ShapeDtypeStruct(xf.shape, x.dtype),
-        grid=(n_tiles, nc),
+        grid=grid,
         in_specs=[
             row_spec, frame_spec, frame_spec, frame_spec,
             hchunk(D, hc),                            # w1_q
             hchunk(1, hc),                            # w1_s
             hchunk(1, hc),                            # b1
-            pl.BlockSpec((hc, D), lambda t, c: (c, 0),
+            pl.BlockSpec((hc, D), w2ix,
                          memory_space=pltpu.VMEM),    # w2_q
-            pl.BlockSpec((1, D), lambda t, c: (0, 0),
+            pl.BlockSpec((1, D),
+                         (lambda c: (0, 0)) if one_tile
+                         else (lambda t, c: (0, 0)),
                          memory_space=pltpu.VMEM),    # w2_s
-            pl.BlockSpec((1, D), lambda t, c: (0, 0),
+            pl.BlockSpec((1, D),
+                         (lambda c: (0, 0)) if one_tile
+                         else (lambda t, c: (0, 0)),
                          memory_space=pltpu.VMEM),    # b2
         ],
         out_specs=row_spec,
@@ -458,8 +525,8 @@ def fused_mlp_branch_q(x, shift, scale, gate, w1_q, w1_s, b1, w2_q, w2_s,
         ],
         interpret=interpret_mode(),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
-            vmem_limit_bytes=64 * 1024 * 1024,
+            dimension_semantics=semantics,
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(xf, shift, scale, gate, w1_q, w1_s.reshape(1, -1), b1, w2_q,
       w2_s.reshape(1, -1), b2)

@@ -133,10 +133,15 @@ def initialize_distributed(coordinator_address=None, num_processes=None,
             num_processes = int(env_n)
             coordinator_address = os.environ.get("GTAX_COORDINATOR")
             process_id = int(os.environ["GTAX_PROCESS_ID"])
-        elif os.environ.get("TPU_WORKER_HOSTNAMES") or os.environ.get(
-            "MEGASCALE_COORDINATOR_ADDRESS"
-        ):
-            jax.distributed.initialize()  # TPU pod: auto-discovered
+        elif os.environ.get("MEGASCALE_COORDINATOR_ADDRESS") or len(
+            [h for h in
+             os.environ.get("TPU_WORKER_HOSTNAMES", "").split(",") if h]
+        ) > 1:
+            # TPU pod: auto-discovered. A SINGLE hostname is not a pod —
+            # some single-chip runtimes (e.g. the tunnelled dev plugin)
+            # export TPU_WORKER_HOSTNAMES=localhost, and a bare
+            # jax.distributed.initialize() would then demand a coordinator
+            jax.distributed.initialize()
             return
     if num_processes is None or num_processes <= 1:
         return
@@ -199,7 +204,10 @@ def data_parallel_rollout(rollout, mesh: Mesh, num_gen_frames: int):
         check_vma=False,  # rollout body is opaque (pallas custom calls)
     ))
 
-    def wrapped(params, prompt_latents, actions, rng):
+    def prepare(params, prompt_latents, actions, rng):
+        """Device-put the call's inputs with the mesh shardings; returns
+        the exact argument tuple `wrapped.sharded` takes (the AOT cache
+        lowers/serializes `sharded` against these, gtax.serving)."""
         B = prompt_latents.shape[0]
         assert B % data == 0, (
             f"batch {B} must divide over the {data}-way 'data' mesh axis")
@@ -216,6 +224,11 @@ def data_parallel_rollout(rollout, mesh: Mesh, num_gen_frames: int):
         prompt_latents = put(prompt_latents)
         if actions is not None:
             actions = put(actions)
-        return sharded(params, prompt_latents, actions, rng)
+        return params, prompt_latents, actions, rng
 
+    def wrapped(params, prompt_latents, actions, rng):
+        return sharded(*prepare(params, prompt_latents, actions, rng))
+
+    wrapped.sharded = sharded
+    wrapped.prepare = prepare
     return wrapped

@@ -56,8 +56,9 @@ class ServingConfig:
     decode_chunk: int | None = None
     # directory of AOT-serialized executables (gtax.aot): first run compiles
     # and saves, later processes load the compiled executable and skip the
-    # ~4-minute unstacked-layout compile entirely. Single-mesh paths only
-    # (mesh_data/mesh_model runners keep the jit path).
+    # ~4-minute unstacked-layout compile entirely. Covers the single-mesh
+    # paths and shard_map-DP batched serving (mesh_data > 1); GSPMD
+    # mesh_model serving keeps the jit path (xla backend, fast compile).
     aot_dir: str | None = None
     dit_model: str = "DiT-S/2"
     vae_model: str = "vit-l-20-shallow-encoder"
@@ -171,7 +172,17 @@ class VideoGenerator:
         self._dp_runners = {}
         self._aot = None
         self._aot_runners = {}
-        if cfg.aot_dir and cfg.mesh_data <= 1 and cfg.mesh_model <= 1:
+        import threading
+
+        # prewarm() builds runners from a background thread; serialize
+        # runner creation so a concurrent generate() can't compile twice
+        self._aot_lock = threading.Lock()
+        # AOT covers the single-mesh paths AND shard_map-DP batched serving
+        # (a shard_map executable serializes/loads like any other, with its
+        # device count recorded — gtax.aot). GSPMD mesh_model serving stays
+        # on jit: it runs the xla backend whose compile is seconds, so an
+        # artifact buys nothing.
+        if cfg.aot_dir and cfg.mesh_model <= 1:
             from gtax.aot import AotCache
 
             self._aot = AotCache(cfg.aot_dir)
@@ -219,6 +230,59 @@ class VideoGenerator:
                 lambda k: vae_init(k, vae_cfg))(jax.random.PRNGKey(1))
         return cls(dit_params, vae_params, cfg)
 
+    def prewarm(self, num_frames: int = 32, batch_size: int = 1,
+                n_prompt: int = 4, use_actions: bool = False,
+                wait: bool = False):
+        """Build AND EXECUTE the encode/rollout/decode AOT runners for one
+        generate() shape on dummy zeros, in a background thread.
+
+        Why: on directly-attached hosts a loaded executable starts in ~4 s,
+        but on tunnelled chips the FIRST execution pays a one-time
+        executable upload/link (~minutes, docs/SERVING.md) — without
+        prewarm that cost lands on the user's first real generate() call.
+        Dispatching a dummy execution at load time overlaps it with prompt
+        preparation/IO. The dummy call reuses _aot_call, so the round-4
+        call-time validation + fallback-to-fresh-compile logic applies.
+        wait=True blocks until warm (tests; measuring cold-start).
+        Returns the thread (already finished when wait=True)."""
+        import threading
+
+        cfg, dit_cfg, vae_cfg = self.cfg, self.dit_cfg, self.vae_cfg
+        B, T0 = batch_size, n_prompt
+
+        def work():
+            try:
+                with attention_mod.backend_scope(self._backend):
+                    video = jnp.zeros(
+                        (B, T0, 3, vae_cfg.input_height,
+                         vae_cfg.input_width), jnp.float32)
+                    lat0 = self._aot_call("encode", self._encode,
+                                          (self.vae_params, video))
+                    actions = (jnp.zeros((B, num_frames,
+                                          dit_cfg.external_cond_dim),
+                                         jnp.float32)
+                               if use_actions else None)
+                    lat = self._aot_call(
+                        "rollout", self._rollout,
+                        (self.dit_params, lat0, actions,
+                         jax.random.PRNGKey(0)),
+                        static={"num_gen_frames": num_frames - T0})
+                    pix = self._decode_frames(lat)
+                    jax.block_until_ready(pix)
+                self._aot.events.append(("prewarm_done", f"B{B}x{num_frames}"))
+            except Exception as e:  # never kill the caller from the thread
+                self._aot.events.append(("prewarm_failed", repr(e)))
+
+        if self._aot is None:
+            return None
+        self._aot.events.append(("prewarm_start", f"B{B}x{num_frames}"))
+        t = threading.Thread(target=work, daemon=True,
+                             name="gtax-aot-prewarm")
+        t.start()
+        if wait:
+            t.join()
+        return t
+
     def _aot_call(self, tag, fn, args, static=None):
         """Run the jitted fn through the AOT executable cache when enabled
         (gtax.aot): first process pays the compile and saves the serialized
@@ -230,10 +294,12 @@ class VideoGenerator:
 
         tag = tag + self._aot_tag
         key = signature_key(tag, args, {}, static)
-        runner = self._aot_runners.get(key)
-        if runner is None:
-            runner = self._aot.load_or_compile(fn, tag, args, static=static)
-            self._aot_runners[key] = runner
+        with self._aot_lock:
+            runner = self._aot_runners.get(key)
+            if runner is None:
+                runner = self._aot.load_or_compile(fn, tag, args,
+                                                   static=static)
+                self._aot_runners[key] = runner
         try:
             out = runner(*args)
             if (getattr(runner, "from_cache", False)
@@ -340,8 +406,15 @@ class VideoGenerator:
                 if actions is not None:
                     actions = jax.device_put(actions, replicated(self._mesh))
             if self.cfg.mesh_data > 1:
-                lat = self._dp_runner(n_gen)(self.dit_params, latents,
-                                             actions, rng)
+                runner = self._dp_runner(n_gen)
+                if self._aot is None:
+                    lat = runner(self.dit_params, latents, actions, rng)
+                else:
+                    # AOT the inner shard_map jit against device-put args
+                    lat = self._aot_call(
+                        f"rollout_dp{self.cfg.mesh_data}", runner.sharded,
+                        runner.prepare(self.dit_params, latents, actions,
+                                       rng))
             elif noise is None:
                 lat = self._aot_call(
                     "rollout", self._rollout,

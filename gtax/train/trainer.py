@@ -54,11 +54,28 @@ from gtax.utils.profiling import MFUCounter, StepTimer, dit_forward_flops
 logger = logging.getLogger("gtax.train")
 
 
+def as_float_video(video):
+    """Accept uint8 channel-last (..., H, W, 3) host-layout pixels and
+    convert ON DEVICE to the model's float (..., 3, H, W) in [0, 1]; float
+    inputs pass through unchanged. The uint8 path is the fast data pipeline
+    (gtax.data.webtar pixel_u8): the host skips the float cast + transpose
+    and ships 4x fewer bytes; this cast fuses into the VAE's first op under
+    jit."""
+    v = jnp.asarray(video)
+    if v.dtype != jnp.uint8:
+        return v
+    n = v.ndim
+    v = v.transpose(*range(n - 3), n - 1, n - 3, n - 2)
+    return v.astype(jnp.float32) / 255.0
+
+
 def encode_frames(vae_params, vae_cfg, frames, compute_dtype,
                   fused=False):
-    """frames (B,T,3,H,W) in [0,1] -> latents (B,T,C,h,w) float32
+    """frames (B,T,3,H,W) in [0,1] — or uint8 (B,T,H,W,3), converted on
+    device by as_float_video — -> latents (B,T,C,h,w) float32
     (reference encode_frames, train_dit.py:329-351). fused=True takes the
     fused VAE block kernels (inference/serving only)."""
+    frames = as_float_video(frames)
     B, T = frames.shape[:2]
     flat = frames.reshape(B * T, *frames.shape[2:])
     mean, _ = vae_encode(vae_params, vae_cfg, flat * 2.0 - 1.0, compute_dtype,
@@ -774,7 +791,11 @@ class Trainer:
         self.wandb_run_id = run.id
 
     def log_metrics(self, metrics: dict, epoch: int):
-        record = {"step": self.global_step, "epoch": epoch, **metrics}
+        # wall_time: consecutive-record deltas measure TRUE sustained step
+        # time including the input pipeline (step_time_s times only the
+        # jitted step) — the number scripts/train_soak.py certifies
+        record = {"step": self.global_step, "epoch": epoch,
+                  "wall_time": round(time.time(), 3), **metrics}
         logger.info(
             "step %d | %s",
             self.global_step,
@@ -814,9 +835,26 @@ def build_loaders(config: TrainingConfig, **dataset_kw):
         vae_cfg = VAE_MODELS[config.vae_model]()
         dataset_kw.setdefault("height", vae_cfg.input_height)
         dataset_kw.setdefault("width", vae_cfg.input_width)
-    elif config.dataset_type == "webdataset" and world > 1:
-        dataset_kw.setdefault("worker_index", rank)
-        dataset_kw.setdefault("num_workers", world)
+    elif config.dataset_type == "webdataset":
+        # fast host pipeline by default: fused cv2 decode+split+resize to
+        # uint8 channel-last (float cast + transpose happen on device,
+        # as_float_video) and a decode thread pool sized to the host
+        # (scripts/loader_bench.py measures both; the legacy float path is
+        # decode-bound at ~0.9x the flagship step's appetite on 1 core)
+        dataset_kw.setdefault("pixel_u8", True)
+        dataset_kw.setdefault("decode_workers",
+                              min(os.cpu_count() or 1, 16))
+        vae_cfg = VAE_MODELS[config.vae_model]()
+        if (vae_cfg.input_height, vae_cfg.input_width) != (360, 640):
+            # non-flagship VAE geometry (debug presets): resize to match
+            from gtax.data.common import ClipTransform
+
+            dataset_kw.setdefault("transform", ClipTransform(
+                target_h=vae_cfg.input_height,
+                target_w=vae_cfg.input_width))
+        if world > 1:
+            dataset_kw.setdefault("worker_index", rank)
+            dataset_kw.setdefault("num_workers", world)
     # a custom 'shards' list must not leak into the validation split (val
     # would silently evaluate on the training shards); val_shards=/val_size=
     # point validation at its own data

@@ -77,6 +77,52 @@ def test_aot_off_by_default():
     assert g._aot is None
 
 
+def test_aot_covers_shardmap_dp(tmp_path):
+    """mesh_data batched serving must ride the AOT cache too (round-5: a
+    shard_map executable serializes/loads like any other): first process
+    compiles + saves the DP rollout executable, a fresh process-equivalent
+    loads it, outputs bit-identical."""
+    cfg = dataclasses.replace(CFG, aot_dir=str(tmp_path), mesh_data=2)
+    g1 = VideoGenerator.load("", "", cfg)
+    prompt = np.concatenate([_prompt(g1)] * 2)  # B=2 over 2 devices
+    out1 = g1.generate(prompt, num_frames=4, seed=3)
+    assert any("rollout_dp2" in e[1] for e in _events(g1, "compile"))
+    assert len(_events(g1, "save")) == 3
+
+    g2 = VideoGenerator.load("", "", cfg)
+    out2 = g2.generate(prompt, num_frames=4, seed=3)
+    n_fallbacks = len(_events(g2, "call_failed"))
+    assert len(_events(g2, "load")) == 3
+    assert len(_events(g2, "compile")) == n_fallbacks
+    np.testing.assert_array_equal(out1, out2)
+
+
+def test_aot_prewarm_builds_and_validates_runners(tmp_path):
+    """prewarm() must build + execute the encode/rollout/decode runners for
+    a generate() shape in the background so a following generate() with the
+    same shape finds warm, validated runners (no further compiles/loads),
+    and its output must be identical to a cold generator's."""
+    cfg = dataclasses.replace(CFG, aot_dir=str(tmp_path))
+    g1 = VideoGenerator.load("", "", cfg)
+    t = g1.prewarm(num_frames=4, batch_size=1, n_prompt=2, wait=True)
+    assert t is not None and not t.is_alive()
+    kinds = [e[0] for e in g1._aot.events]
+    assert "prewarm_done" in kinds and "prewarm_failed" not in kinds
+    assert len(_events(g1, "compile")) == 3  # encode, rollout, decode
+    n_runners = len(g1._aot_runners)
+    out1 = g1.generate(_prompt(g1), num_frames=4, seed=3)
+    # same shapes -> the warm runners are reused, nothing new is built
+    assert len(g1._aot_runners) == n_runners
+    assert len(_events(g1, "compile")) == 3
+
+    g2 = VideoGenerator.load("", "", cfg)  # cold, loads g1's artifacts
+    out2 = g2.generate(_prompt(g2), num_frames=4, seed=3)
+    np.testing.assert_array_equal(out1, out2)
+
+    # prewarm with AOT off is a documented no-op
+    assert VideoGenerator.load("", "", CFG).prewarm(num_frames=4) is None
+
+
 def test_aot_config_semantics_keyed(tmp_path):
     """Two configs with IDENTICAL arg shapes must not collide on one
     executable: noise_steps (and every other semantics-affecting

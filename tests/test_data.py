@@ -139,6 +139,65 @@ def test_webtar_cursor_resume(tmp_path):
     assert ids == [2, 3, 4], ids
 
 
+def test_webtar_parallel_decode_order_and_cursor(tmp_path):
+    """decode_workers must not change the yielded stream: same samples,
+    same order, same resumable-cursor positions as the inline decode (the
+    tar stream stays sequential; only decode runs on threads)."""
+    shard = str(tmp_path / "00000.tar")
+    make_shard(shard, 8)
+    kw = dict(split="train", return_actions=True, shards=[shard],
+              shuffle_buffer=1, resampled=False, shuffle_shards=False,
+              transform=ClipTransform(target_h=36, target_w=64))
+    seq = list(iter(WebTarDataset(**kw)))
+    ds_par = WebTarDataset(decode_workers=4, **kw)
+    it = iter(ds_par)
+    par = [next(it) for _ in range(8)]
+    assert len(seq) == len(par) == 8
+    for a, b in zip(seq, par):
+        np.testing.assert_array_equal(a["video"], b["video"])
+        np.testing.assert_array_equal(a["actions"], b["actions"])
+    # resume from a mid-stream cursor with the PARALLEL decoder active
+    ds3 = WebTarDataset(decode_workers=4, **kw)
+    ds3.cursor = [0, 0, 5]
+    ids = [int(round(float(s["video"].mean()) * 255))
+           for s in iter(ds3)]
+    assert ids == [5, 6, 7], ids
+
+
+def test_webtar_pixel_u8_fast_path(tmp_path):
+    """pixel_u8 yields uint8 channel-last clips whose device-side float
+    conversion (as_float_video) matches the legacy float path up to JPEG
+    decoder differences (cv2/libjpeg-turbo vs PIL: +-2/255)."""
+    shard = str(tmp_path / "00000.tar")
+    make_shard(shard, 3)
+    kw = dict(split="train", return_actions=True, shards=[shard],
+              shuffle_buffer=1, resampled=False, shuffle_shards=False,
+              transform=ClipTransform(target_h=36, target_w=64))
+    legacy = list(iter(WebTarDataset(**kw)))
+    fast = list(iter(WebTarDataset(pixel_u8=True, **kw)))
+    assert len(fast) == 3
+    clip = fast[0]["video_u8"]
+    assert clip.dtype == np.uint8 and clip.shape == (5, 36, 64, 3)
+    np.testing.assert_array_equal(fast[0]["actions"], legacy[0]["actions"])
+
+    from gtax.train.trainer import as_float_video
+
+    conv = np.asarray(as_float_video(clip[None]))  # (1, 5, 3, 36, 64)
+    assert conv.shape == (1, 5, 3, 36, 64) and conv.dtype == np.float32
+    assert abs(float(conv.max()) - float(legacy[0]["video"].max())) < 0.02
+    np.testing.assert_allclose(conv[0], legacy[0]["video"], atol=2.5 / 255)
+
+    # the DataLoader stacks u8 batches without the float conversion
+    from gtax.data.loader import DataLoader
+
+    dl = DataLoader(WebTarDataset(pixel_u8=True, **kw), batch_size=3,
+                    num_workers=1)
+    b = next(iter(dl))
+    assert b.video.dtype == np.uint8
+    assert b.video.shape == (3, 5, 36, 64, 3)
+    assert b.actions.shape == (3, 5, 25)
+
+
 def test_dummy_dataset_causality_probe():
     ds = DummyDataset("validation", return_actions=True, height=36, width=64)
     assert len(ds) == 10
