@@ -603,14 +603,12 @@ def _step_batches_per_tile(B: int, n_live: int, n_ctx: int,
     per_batch = pairs_per_batch * seq_len
     if B <= 2 and B * per_batch <= max_pair_rows:
         return B
-    # Round 5 (measured, flagship shapes): TWO elements per tile beat one
-    # at B=8 (61.4 vs 67.9 us/call) — the second element amortises the
-    # tile's serial in-kernel latency while the grid still double-buffers
-    # the ctx-K/V DMA — and FOUR win at B=16 (107.5 vs 116.5). The
-    # pair-row guard still bounds pipelined (n_live>1) tiles.
-    for bt in ((4, 2) if B >= 16 else (2,)):
-        if B % bt == 0 and bt * per_batch <= max_pair_rows:
-            return bt
+    # B > 2 (or an oversized pipelined tile): one batch element per tile.
+    # Round-5 negative result: 2 elements/tile at B=8 (and 4 at B=16) won
+    # isolated microbenchmarks (61.4 vs 67.9 us/call) but measured neutral
+    # in the full rollout — the extra per-tile VMEM shrinks cross-kernel
+    # overlap by as much as the in-kernel latency win (docs/PERF.md
+    # round-5 serving). 1/tile is the measured-fastest AND VMEM-bounded form.
     return 1
 
 

@@ -48,12 +48,7 @@ from gtax.kernels.block import (
     rotate_half_matrix,
     temporal_preamble,
 )
-from gtax.kernels.quant import (
-    _gelu_quant_rows,
-    _mlp_chunks,
-    _qdot,
-    _quant_rows,
-)
+from gtax.kernels.quant import _mlp_chunks, _qdot, _quant_rows
 
 
 def _pair_chunks(h: int) -> int:
@@ -96,9 +91,10 @@ def _mlp_chunk(qmod_ref, qs_ref, acc_ref, w1q_ref, w1s_ref, b1_ref,
     )
     h = (acc1.astype(jnp.float32) * qs_ref[:] * w1s_ref[:]
          + b1_ref[0].astype(jnp.float32))
-    # bound-scale epilogue shared with quant._mlp_kernel_q so the paired
-    # (B<=2) and sequential (B>2) MLP paths can never drift numerically
-    hq, hs = _gelu_quant_rows(h, approx_gelu)
+    # same gelu + dynamic-requant epilogue as quant._mlp_kernel_q so the
+    # paired (B<=2) and sequential (B>2) MLP paths can never drift
+    h = jax.nn.gelu(h, approximate=approx_gelu)
+    hq, hs = _quant_rows(h)
     part = jax.lax.dot_general(
         hq, w2q_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,

@@ -78,38 +78,14 @@ def _qdot(a32, wq_ref, ws_ref):
     return acc.astype(jnp.float32) * sa * ws_ref[:]
 
 
-_GELU_C = 0.7978845608028654  # sqrt(2/pi)
-_GELU_A = 0.044715
-# sup |gelu(x)| over x <= -0.7518 (the non-monotone tail's extremum)
-_GELU_MIN_ABS = 0.17004
-
-
-def _gelu_tanh(h):
-    """tanh-approx gelu (same formula as jax.nn.gelu(approximate=True))."""
-    u = _GELU_C * (h + _GELU_A * h * h * h)
-    return 0.5 * h * (1.0 + jnp.tanh(u))
-
-
-def _gelu_quant_rows(h, approx_gelu):
-    """gelu(h) -> dynamic per-row int8, with the quant scale derived from
-    the PRE-gelu row max instead of a second pass over the gelu output:
-    gelu is monotone above -0.7518 and |gelu| <= 0.17004 below, so
-    sup|gelu(row)| == max(gelu(max(row)), 0.17004) EXACTLY whenever the
-    row's gelu max is attained in the monotone region (and a tight upper
-    bound — at most 0.17 absolute — otherwise, i.e. only on all-near-zero
-    rows where the residual quant error is bounded by 0.0007/element).
-    This removes one full (rows, chunk) materialise+scan stage from the MLP
-    epilogue — measured 78.0 -> 70.6 us/call at flagship B=8 together with
-    the nc=4 chunking (scripts/r5_serving_exp.py, round 5); bit-identical
-    bf16 outputs on the same shapes. The erf ('exact') gelu keeps the
-    two-pass dynamic path."""
-    if not approx_gelu:
-        g = jax.nn.gelu(h, approximate=False)
-        return _quant_rows(g)
-    mx = jnp.max(h, axis=-1, keepdims=True)
-    hs = jnp.maximum(_gelu_tanh(mx), _GELU_MIN_ABS) * (1.0 / 127.0)
-    hq = jnp.round(_gelu_tanh(h) * (1.0 / hs)).astype(jnp.int8)
-    return hq, hs
+# Round-5 negative result (docs/PERF.md "Round-5 serving"): deriving the
+# hidden requant scale from the PRE-gelu row max (exact via gelu
+# monotonicity above -0.7518, |gelu| <= 0.17004 below) saved one VPU
+# scan per MLP call in ISOLATED microbenchmarks (78.0 -> 70.6 us/call at
+# B=8, scripts/r5_serving_exp.py) but measured NEUTRAL-to-negative in the
+# full rollout graph (16.93 -> 16.78 f/s aggregate at B=8) — the abs-max
+# scan it removes overlaps with MXU work there. Kept out; the two-pass
+# gelu + _quant_rows epilogue below is the shipped form.
 
 
 def _spatial_kernel_q(x_ref, shift_ref, scale_ref, gate_ref, qkvq_ref,
@@ -294,7 +270,7 @@ def _mlp_kernel_q(x_ref, shift_ref, scale_ref, gate_ref, w1q_ref, w1s_ref,
     interpret tests, H too small to split).
 
     The grid is 1-D (H chunks; chunk_axis=0) when the rows fit one tile —
-    the serving shapes' measured-fast form (round 5) — else 2-D
+    skipping the 2-D grid machinery at small serving shapes — else 2-D
     (row tiles, H chunks; chunk_axis=1) with chunks iterating fast."""
     c = pl.program_id(chunk_axis)
 
@@ -316,7 +292,8 @@ def _mlp_kernel_q(x_ref, shift_ref, scale_ref, gate_ref, w1q_ref, w1s_ref,
     )
     h = (acc1.astype(jnp.float32) * qs_ref[:] * w1s_ref[:]
          + b1_ref[0].astype(jnp.float32))
-    hq, hs = _gelu_quant_rows(h, approx_gelu)
+    h = jax.nn.gelu(h, approximate=approx_gelu)
+    hq, hs = _quant_rows(h)
     part = jax.lax.dot_general(
         hq, w2q_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
@@ -433,16 +410,17 @@ def fused_temporal_branch_q(x, shift, scale, gate, qkv_q, qkv_s, out_q,
 
 
 def _mlp_chunks(h: int, rows: int = 0) -> int:
-    """H split whose chunk width stays a lane-tile multiple (128).
+    """Largest H split in {8, 4, 2, 1} whose chunk width stays a lane-tile
+    multiple (128): measured on v5e, 8 chunks of the flagship H=4096 run the
+    kernel at ~15.5 us/call vs 20.6 unchunked (int8-DMA floor ~10.4).
 
-    Small row counts (B=1 serving, 144 rows): 8 chunks — the kernel is
-    weight-DMA-bound and finer chunks pipeline the weight fetch (measured
-    15.5 us/call vs 20.6 unchunked, round 2). Large row counts (batched
-    serving, >=576 rows): 4 chunks — the kernel is compute-bound and the
-    fc2 fp32-accumulator read-modify-write scales with the chunk count
-    (measured 70.6 us/call nc=4 vs 72.5 nc=8 at B=8 flagship, round 5,
-    scripts/r5_serving_exp.py)."""
-    prefer = (4, 8, 2) if rows >= 576 else (8, 4, 2)
+    Round-5 negative result: nc=4 at batched rows (>=576) won ISOLATED
+    microbenchmarks (70.6 vs 72.5 us/call at B=8, scripts/r5_serving_exp.py)
+    but lost ~8% aggregate f/s in the full rollout together with the
+    single-row-tile form — coarser chunks shrink the per-call latency yet
+    starve the cross-kernel DMA overlap the rollout graph lives on
+    (docs/PERF.md round-5 serving). nc=8 everywhere is the shipped form."""
+    prefer = (8, 4, 2)
     for nc in prefer:
         if h % nc == 0 and (h // nc) % 128 == 0:
             return nc
@@ -459,17 +437,18 @@ def fused_mlp_branch_q(x, shift, scale, gate, w1_q, w1_s, b1, w2_q, w2_s,
     xf = x.reshape(N * S, D)
     b1 = b1.reshape(1, H)
     b2 = b2.reshape(1, D)
-    # the int8 MLP's per-tile live set is small (int8 qmod + one H-chunk),
-    # so batched serving shapes (8 frames = 1152 rows) stay in ONE tile:
-    # measured 72.5 vs 78.0 us/call at B=8 for 1 vs 2 row tiles (round 5)
-    fpt = _frames_per_tile(N, S, max_rows=1152)
+    # row tiles stay at the 768-row guard: forcing batched shapes (B=8,
+    # 1152 rows) into ONE tile won microbenchmarks (72.5 vs 78.0 us/call)
+    # but cost ~8% aggregate f/s in the rollout graph (round-5 negative
+    # result, docs/PERF.md) — same overlap-starvation story as nc=4
+    fpt = _frames_per_tile(N, S)
     n_tiles = N // fpt
     tile_rows = fpt * S
     nc = _mlp_chunks(H, tile_rows)
     hc = H // nc
     # 1-D grid (H chunks only) when a single row tile covers the call —
-    # the measured-fast serving form (round 5: the 2-D (1, nc) grid paid
-    # ~3 us/call of extra grid machinery at B=8); 2-D otherwise.
+    # drops the ~3 us/call of 2-D (1, nc) grid machinery measured at
+    # one-tile shapes (round 5); 2-D otherwise.
     one_tile = n_tiles == 1
     (shift, scale, gate), fpt_pad = _pad_frame_rows(
         (shift, scale, gate), fpt, n_tiles)
@@ -526,7 +505,7 @@ def fused_mlp_branch_q(x, shift, scale, gate, w1_q, w1_s, b1, w2_q, w2_s,
         interpret=interpret_mode(),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=semantics,
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
     )(xf, shift, scale, gate, w1_q, w1_s.reshape(1, -1), b1, w2_q,
       w2_s.reshape(1, -1), b2)
