@@ -860,6 +860,16 @@ def build_loaders(config: TrainingConfig, **dataset_kw):
     # point validation at its own data
     split_only = ("shards", "size", "val_shards", "val_size")
     val_kw = {k: v for k, v in dataset_kw.items() if k not in split_only}
+    if config.dataset_type == "webdataset":
+        # validation must be ONE deterministic pass: the streaming dataset
+        # defaults to resampled=True + a 1000-sample shuffle buffer (training
+        # ergonomics), but run_validation walks the WHOLE val loader
+        # (reference train_dit.py:711-744) — an infinite resampled iterator
+        # would hang it at step 0, and the buffer would delay the first val
+        # batch by 1000 decodes
+        val_kw.setdefault("resampled", False)
+        val_kw.setdefault("shuffle_shards", False)
+        val_kw.setdefault("shuffle_buffer", 1)
     if "val_shards" in dataset_kw:
         val_kw["shards"] = dataset_kw.pop("val_shards")
     if "val_size" in dataset_kw:

@@ -142,9 +142,9 @@ def analyze(recs, boundary_step):
         "excluded_stall_records": int((~keep).sum()),
     }
     before = [r["train_loss"] for r in recs
-              if r["step"] <= boundary_step][-20:]
+              if "train_loss" in r and r["step"] <= boundary_step][-20:]
     after = [r["train_loss"] for r in recs
-             if r["step"] > boundary_step][:20]
+             if "train_loss" in r and r["step"] > boundary_step][:20]
     if before and after:
         out["loss_before_kill_mean20"] = round(
             float(np.mean(before)), 5)
