@@ -90,11 +90,16 @@ def _qdot(a32, wq_ref, ws_ref):
 
 def _spatial_kernel_q(x_ref, shift_ref, scale_ref, gate_ref, qkvq_ref,
                       qkvs_ref, outq_ref, outs_ref, outb_ref, cos_ref,
-                      sin_ref, rot_ref, o_ref, *, num_heads, n_frames,
+                      sin_ref, rot_ref, o_ref, q_ref=None, k_ref=None,
+                      v_ref=None, y_ref=None, *, num_heads, n_frames,
                       seq_len, ln_eps, mod_eps):
     """W8A8 twin of gtax.kernels.block._kernel: the LN/modulate and the
     attention core are the SAME code (imported); only the qkv and out GEMMs
-    go through the dynamic-int8 path."""
+    go through the dynamic-int8 path.
+
+    q/k/v/y_ref (emit_train): post-rope q/k, cast v, and the pre-gate branch
+    output — the residuals the training backward consumes (int8-forward
+    training, gtax.nn.branches)."""
     x = x_ref[:]
     NS, D = x.shape
 
@@ -106,10 +111,13 @@ def _spatial_kernel_q(x_ref, shift_ref, scale_ref, gate_ref, qkvq_ref,
     attn_out = _spatial_attention_core(
         q, k, v, cos_ref[:], sin_ref[:], rot_ref[:], x.dtype, num_heads,
         n_frames, seq_len,
+        qkv_out=None if q_ref is None else (q_ref, k_ref, v_ref),
     )
 
     y = _qdot(attn_out, outq_ref, outs_ref)
     y = y + outb_ref[0].astype(jnp.float32)
+    if y_ref is not None:
+        y_ref[:] = y.astype(y_ref.dtype)
 
     g = _rows_from_frames(gate_ref[:].astype(jnp.float32), seq_len,
                           x32.shape[0])
@@ -119,11 +127,13 @@ def _spatial_kernel_q(x_ref, shift_ref, scale_ref, gate_ref, qkvq_ref,
 def _temporal_kernel_q(x_ref, shift_ref, scale_ref, gate_ref, qkvq_ref,
                        qkvs_ref, outq_ref, outs_ref, outb_ref, cos_ref,
                        sin_ref, rot_ref, seg_ref, bias_ref, o_ref,
-                       k_ref=None, v_ref=None, *, num_heads, n_frames,
-                       n_batches, seq_len, ln_eps, mod_eps):
+                       k_ref=None, v_ref=None, q_ref=None, y_ref=None, *,
+                       num_heads, n_frames, n_batches, seq_len, ln_eps,
+                       mod_eps):
     """W8A8 twin of gtax.kernels.block._temporal_kernel (shared attention
     core; int8 qkv/out GEMMs). k_ref/v_ref: optional post-rope K/V outputs
-    (prefill for incremental decoding)."""
+    (prefill for incremental decoding); + q_ref/y_ref: the emit_train
+    residual set for int8-forward training (gtax.nn.branches)."""
     x = x_ref[:]
     NS, D = x.shape
 
@@ -138,10 +148,13 @@ def _temporal_kernel_q(x_ref, shift_ref, scale_ref, gate_ref, qkvq_ref,
         rot_ref[:], seg_ref[:],
         bias_ref, x.dtype, num_heads, n_frames, n_batches, seq_len,
         kv_out=None if k_ref is None else (k_ref, v_ref),
+        q_out=q_ref,
     )
 
     y = _qdot(attn_out, outq_ref, outs_ref)
     y = y + outb_ref[0].astype(jnp.float32)
+    if y_ref is not None:
+        y_ref[:] = y.astype(y_ref.dtype)
     g = _rows_from_frames(gate_ref[:].astype(jnp.float32), seq_len,
                           x32.shape[0])
     o_ref[:] = (x32 + g * y).astype(o_ref.dtype)
@@ -251,10 +264,8 @@ def fused_temporal_step_q(x, shift, scale, gate, qkv_q, qkv_s, out_q, out_s,
     return out.reshape(N, S, D)
 
 
-def _mlp_kernel_q(x_ref, shift_ref, scale_ref, gate_ref, w1q_ref, w1s_ref,
-                  b1_ref, w2q_ref, w2s_ref, b2_ref, o_ref, qmod_ref, qs_ref,
-                  acc_ref, *, seq_len, ln_eps, mod_eps, approx_gelu,
-                  n_chunks, chunk_axis=1):
+def _mlp_kernel_q(*refs, seq_len, ln_eps, mod_eps, approx_gelu, n_chunks,
+                  chunk_axis=1, emit_train=False):
     """W8A8 twin of gtax.kernels.block._mlp_kernel (shared LN/modulate):
     both MLP GEMMs int8; the hidden activation re-quantizes per row after
     the fp32 GELU.
@@ -271,7 +282,21 @@ def _mlp_kernel_q(x_ref, shift_ref, scale_ref, gate_ref, w1q_ref, w1s_ref,
 
     The grid is 1-D (H chunks; chunk_axis=0) when the rows fit one tile —
     skipping the 2-D grid machinery at small serving shapes — else 2-D
-    (row tiles, H chunks; chunk_axis=1) with chunks iterating fast."""
+    (row tiles, H chunks; chunk_axis=1) with chunks iterating fast.
+
+    emit_train adds (h1, y) outputs — the pre-gelu fc1 activation (written
+    per H-chunk) and the pre-gate branch output, the residual set the
+    int8-forward training backward consumes (gtax.nn.branches). Refs are
+    unpacked explicitly because pallas passes scratch refs positionally
+    AFTER the (emit-dependent) output refs."""
+    if emit_train:
+        (x_ref, shift_ref, scale_ref, gate_ref, w1q_ref, w1s_ref, b1_ref,
+         w2q_ref, w2s_ref, b2_ref, o_ref, h1_ref, y_ref, qmod_ref, qs_ref,
+         acc_ref) = refs
+    else:
+        (x_ref, shift_ref, scale_ref, gate_ref, w1q_ref, w1s_ref, b1_ref,
+         w2q_ref, w2s_ref, b2_ref, o_ref, qmod_ref, qs_ref, acc_ref) = refs
+        h1_ref = y_ref = None
     c = pl.program_id(chunk_axis)
 
     @pl.when(c == 0)
@@ -292,6 +317,8 @@ def _mlp_kernel_q(x_ref, shift_ref, scale_ref, gate_ref, w1q_ref, w1s_ref,
     )
     h = (acc1.astype(jnp.float32) * qs_ref[:] * w1s_ref[:]
          + b1_ref[0].astype(jnp.float32))
+    if h1_ref is not None:
+        h1_ref[:] = h.astype(h1_ref.dtype)  # this chunk's H columns
     h = jax.nn.gelu(h, approximate=approx_gelu)
     hq, hs = _quant_rows(h)
     part = jax.lax.dot_general(
@@ -304,16 +331,20 @@ def _mlp_kernel_q(x_ref, shift_ref, scale_ref, gate_ref, w1q_ref, w1s_ref,
     def _():
         x32 = x_ref[:].astype(jnp.float32)
         y = acc_ref[:] * w2s_ref[:] + b2_ref[0].astype(jnp.float32)
+        if y_ref is not None:
+            y_ref[:] = y.astype(y_ref.dtype)
         g = _rows_from_frames(gate_ref[:].astype(jnp.float32), seq_len,
                               x32.shape[0])
         o_ref[:] = (x32 + g * y).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads",))
+@functools.partial(jax.jit, static_argnames=("num_heads", "emit_train"))
 def fused_spatial_branch_q(x, shift, scale, gate, qkv_q, qkv_s, out_q, out_s,
-                           out_b, rope_freqs, num_heads):
+                           out_b, rope_freqs, num_heads, emit_train=False):
     """int8 twin of gtax.kernels.block.fused_spatial_branch; qkv_q/out_q are
-    int8 kernels with per-column scales qkv_s (1, 3D) / out_s (1, D)."""
+    int8 kernels with per-column scales qkv_s (1, 3D) / out_s (1, D).
+    emit_train=True additionally returns (q, k, v, y) — the same residual
+    set as the bf16 kernel, for int8-forward training."""
     N, S, D = x.shape
     d = D // num_heads
     fpt = _frames_per_tile(N, S)
@@ -332,12 +363,14 @@ def fused_spatial_branch_q(x, shift, scale, gate, qkv_q, qkv_s, out_q, out_s,
                               memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     rot = rope_freqs.shape[-1]
+    one = jax.ShapeDtypeStruct(xf.shape, x.dtype)
+    n_out = 5 if emit_train else 1
     out = pl.pallas_call(
         functools.partial(
             _spatial_kernel_q, num_heads=num_heads, n_frames=fpt, seq_len=S,
             ln_eps=1e-6, mod_eps=1e-6,
         ),
-        out_shape=jax.ShapeDtypeStruct(xf.shape, x.dtype),
+        out_shape=(one,) * n_out if emit_train else one,
         grid=(n_tiles,),
         in_specs=[
             row_spec, frame_spec, frame_spec, frame_spec,  # x + adaLN vecs
@@ -348,21 +381,26 @@ def fused_spatial_branch_q(x, shift, scale, gate, qkv_q, qkv_s, out_q, out_s,
                          memory_space=pltpu.VMEM),   # sin
             full,                                    # R
         ],
-        out_specs=row_spec,
+        out_specs=(row_spec,) * n_out if emit_train else row_spec,
         interpret=interpret_mode(),
         compiler_params=_BRANCH_PARAMS,
     )(xf, shift, scale, gate, qkv_q, qkv_s.reshape(1, -1), out_q,
       out_s.reshape(1, -1), out_b, cos, sin, R)
+    if emit_train:
+        o, qq, kk, vv, yy = (a.reshape(N, S, D) for a in out)
+        return o, qq, kk, vv, yy
     return out.reshape(N, S, D)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("num_heads", "n_frames", "emit_kv"))
+                   static_argnames=("num_heads", "n_frames", "emit_kv",
+                                    "emit_train"))
 def fused_temporal_branch_q(x, shift, scale, gate, qkv_q, qkv_s, out_q,
                             out_s, out_b, rope_freqs, valid, num_heads,
-                            n_frames, emit_kv=False):
+                            n_frames, emit_kv=False, emit_train=False):
     """int8 twin of gtax.kernels.block.fused_temporal_branch (emit_kv=True
-    additionally returns the post-rope (k, v) context cache)."""
+    additionally returns the post-rope (k, v) context cache; emit_train=True
+    returns (o, q, k, v, y) — the training-backward residual set)."""
     N, S, D = x.shape
     T = n_frames
     B = N // T
@@ -384,12 +422,14 @@ def fused_temporal_branch_q(x, shift, scale, gate, qkv_q, qkv_s, out_q,
                               memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     one = jax.ShapeDtypeStruct(xf.shape, x.dtype)
+    assert not (emit_kv and emit_train)
+    n_out = 5 if emit_train else (3 if emit_kv else 1)
     out = pl.pallas_call(
         functools.partial(
             _temporal_kernel_q, num_heads=num_heads, n_frames=T,
             n_batches=b_pt, seq_len=S, ln_eps=1e-6, mod_eps=1e-6,
         ),
-        out_shape=(one, one, one) if emit_kv else one,
+        out_shape=(one,) * n_out if n_out > 1 else one,
         grid=(n_tiles,),
         in_specs=[
             row_spec, frame_spec, frame_spec, frame_spec,  # x + adaLN vecs
@@ -398,11 +438,15 @@ def fused_temporal_branch_q(x, shift, scale, gate, qkv_q, qkv_s, out_q,
             full, full,                              # R, seg
             pl.BlockSpec(memory_space=pltpu.SMEM),   # bias (T, T)
         ],
-        out_specs=(row_spec, row_spec, row_spec) if emit_kv else row_spec,
+        out_specs=(row_spec,) * n_out if n_out > 1 else row_spec,
         interpret=interpret_mode(),
         compiler_params=_BRANCH_PARAMS,
     )(xf, shift, scale, gate, qkv_q, qkv_s.reshape(1, -1), out_q,
       out_s.reshape(1, -1), out_b, cos, sin, R, seg, bias)
+    if emit_train:
+        # kernel output order: (o, k, v, q, y) -> return (o, q, k, v, y)
+        o, kk, vv, qq, yy = (a.reshape(N, S, D) for a in out)
+        return o, qq, kk, vv, yy
     if emit_kv:
         o, kk, vv = out
         return (o.reshape(N, S, D), kk.reshape(N, S, D), vv.reshape(N, S, D))
@@ -427,11 +471,12 @@ def _mlp_chunks(h: int, rows: int = 0) -> int:
     return 1
 
 
-@functools.partial(jax.jit, static_argnames=("approx_gelu",))
+@functools.partial(jax.jit, static_argnames=("approx_gelu", "emit_train"))
 def fused_mlp_branch_q(x, shift, scale, gate, w1_q, w1_s, b1, w2_q, w2_s,
-                       b2, approx_gelu=True):
+                       b2, approx_gelu=True, emit_train=False):
     """int8 twin of gtax.kernels.block.fused_mlp_branch. Weights stream in
-    H-chunks over the grid (see _mlp_kernel_q)."""
+    H-chunks over the grid (see _mlp_kernel_q). emit_train=True additionally
+    returns (h1, y) — the training-backward residual set."""
     N, S, D = x.shape
     H = w1_q.shape[1]
     xf = x.reshape(N * S, D)
@@ -472,13 +517,23 @@ def fused_mlp_branch_q(x, shift, scale, gate, w1_q, w1_s, b1, w2_q, w2_s,
     def hchunk(rows, cols):  # rows x (H chunk) slabs, chunk-indexed
         return pl.BlockSpec((rows, cols), cix, memory_space=pltpu.VMEM)
 
+    one = jax.ShapeDtypeStruct(xf.shape, x.dtype)
+    if emit_train:
+        # h1 blocks are (row tile, H chunk)-indexed: every grid step writes
+        # its own chunk's pre-gelu columns
+        hx = (lambda c: (0, c)) if one_tile else (lambda t, c: (t, c))
+        h1_spec = pl.BlockSpec((tile_rows, hc), hx, memory_space=pltpu.VMEM)
+        out_shape = (one, jax.ShapeDtypeStruct((N * S, H), x.dtype), one)
+        out_specs = (row_spec, h1_spec, row_spec)
+    else:
+        out_shape, out_specs = one, row_spec
     out = pl.pallas_call(
         functools.partial(
             _mlp_kernel_q, seq_len=S, ln_eps=1e-6, mod_eps=1e-6,
             approx_gelu=approx_gelu, n_chunks=nc,
-            chunk_axis=0 if one_tile else 1,
+            chunk_axis=0 if one_tile else 1, emit_train=emit_train,
         ),
-        out_shape=jax.ShapeDtypeStruct(xf.shape, x.dtype),
+        out_shape=out_shape,
         grid=grid,
         in_specs=[
             row_spec, frame_spec, frame_spec, frame_spec,
@@ -496,7 +551,7 @@ def fused_mlp_branch_q(x, shift, scale, gate, w1_q, w1_s, b1, w2_q, w2_s,
                          else (lambda t, c: (0, 0)),
                          memory_space=pltpu.VMEM),    # b2
         ],
-        out_specs=row_spec,
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((tile_rows, D), jnp.int8),     # quantized LN/modulate
             pltpu.VMEM((tile_rows, 1), jnp.float32),  # its per-row scales
@@ -509,4 +564,8 @@ def fused_mlp_branch_q(x, shift, scale, gate, w1_q, w1_s, b1, w2_q, w2_s,
         ),
     )(xf, shift, scale, gate, w1_q, w1_s.reshape(1, -1), b1, w2_q,
       w2_s.reshape(1, -1), b2)
+    if emit_train:
+        o, h1, y = out
+        return (o.reshape(N, S, D), h1.reshape(N, S, H),
+                y.reshape(N, S, D))
     return out.reshape(N, S, D)

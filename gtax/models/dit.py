@@ -227,11 +227,11 @@ def _block_apply(x, c, bp, spatial_freqs, temporal_freqs, num_heads, valid,
         # whole spatial attention branch as one VMEM-resident Pallas kernel;
         # the trainable wrapper adds an XLA-autodiff backward (custom_vjp) so
         # the fused backend is legal under value_and_grad
-        from gtax.nn.branches import trainable_spatial_branch
+        from gtax.nn.branches import trainable_spatial_branch, use_int8_fwd
 
         B, T, gh, gw, D = x.shape
         S = gh * gw
-        x = trainable_spatial_branch(num_heads, dtype_name)(
+        x = trainable_spatial_branch(num_heads, dtype_name, use_int8_fwd())(
             x.reshape(B * T, S, D),
             sh1.reshape(B * T, D),
             sc1.reshape(B * T, D),
@@ -270,11 +270,11 @@ def _block_apply(x, c, bp, spatial_freqs, temporal_freqs, num_heads, valid,
                 prms["fc2"]["bias"],
             ).reshape(B, T, gh, gw, D)
         if attn.get_backend() in ("fused_mlp", "fused_all"):
-            from gtax.nn.branches import trainable_mlp_branch
+            from gtax.nn.branches import trainable_mlp_branch, use_int8_fwd
 
             B, T, gh, gw, D = x.shape
             S = gh * gw
-            return trainable_mlp_branch(dtype_name)(
+            return trainable_mlp_branch(dtype_name, use_int8_fwd())(
                 x.reshape(B * T, S, D),
                 shift.reshape(B * T, D),
                 scale.reshape(B * T, D),
@@ -326,12 +326,12 @@ def _block_apply(x, c, bp, spatial_freqs, temporal_freqs, num_heads, valid,
     elif attn.get_backend() in ("fused", "fused_all") and (
             valid is None or valid.ndim == 1
     ):
-        from gtax.nn.branches import trainable_temporal_branch
+        from gtax.nn.branches import trainable_temporal_branch, use_int8_fwd
 
         B, T, gh, gw, D = x.shape
         S = gh * gw
         fn = trainable_temporal_branch(num_heads, T, valid is not None,
-                                       dtype_name)
+                                       dtype_name, use_int8_fwd())
         args = (
             x.reshape(B * T, S, D),
             th1.reshape(B * T, D),

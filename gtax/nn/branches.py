@@ -154,6 +154,24 @@ def set_pallas_bwd(value: bool) -> None:
     _PALLAS_BWD = bool(value)
 
 
+# int8 TRAINING forward: the branch primal runs the W8A8 kernels (v5e MXU
+# int8 = 2x bf16) while the backward stays bf16 over the int8 forward's
+# actual residuals. Off by default — quality-gated by the loss-trajectory
+# overlay in docs/train_int8_fwd.json (scripts/train_mfu.py --int8-fwd,
+# scripts/dummy_convergence.py).
+_INT8_FWD = os.environ.get("GTAX_INT8_FWD") == "1"
+
+
+def use_int8_fwd() -> bool:
+    return _INT8_FWD
+
+
+def set_int8_fwd(value: bool) -> None:
+    """Toggle int8-forward training (read at trace time by gtax.models.dit)."""
+    global _INT8_FWD
+    _INT8_FWD = bool(value)
+
+
 def _wgrad(a, b, dtype, out_dtype):
     """Weight gradient a^T @ b contracted over the (N, S) token axes, MXU
     operands in the compute dtype, fp32 accumulation (matches _linear's AD
@@ -194,20 +212,42 @@ def _rope_transpose(freqs, u):
 
 
 @functools.lru_cache(maxsize=None)
-def trainable_spatial_branch(num_heads: int, dtype_name: str):
+def trainable_spatial_branch(num_heads: int, dtype_name: str,
+                             quant: bool = False):
     dtype = jnp.dtype(dtype_name)
     from gtax.kernels.block import fused_spatial_branch
 
+    if quant:
+        # int8-forward training (W8A8 GEMMs in the primal; the backward is
+        # the UNCHANGED bf16 path over the int8 forward's actual residuals —
+        # a straight-through estimator over the quantization, standard for
+        # quantized training). Weights quantize per call from the live bf16
+        # values; XLA hoists the (loop-invariant) quantization out of the
+        # grad-accumulation scan.
+        from gtax.kernels.quant import fused_spatial_branch_q, quantize_weight
+
+        def branch_fwd(x, shift, scale, g, qkv_w, out_w, out_b, rope_freqs,
+                       emit):
+            qkv_q, qkv_s = quantize_weight(qkv_w)
+            out_q, out_s = quantize_weight(out_w)
+            return fused_spatial_branch_q(
+                x, shift, scale, g, qkv_q, qkv_s, out_q, out_s, out_b,
+                rope_freqs, num_heads, emit_train=emit)
+    else:
+        def branch_fwd(x, shift, scale, g, qkv_w, out_w, out_b, rope_freqs,
+                       emit):
+            return fused_spatial_branch(
+                x, shift, scale, g, qkv_w, out_w, out_b, rope_freqs,
+                num_heads, emit_train=emit)
+
     @jax.custom_vjp
     def f(x, shift, scale, g, qkv_w, out_w, out_b, rope_freqs):
-        return fused_spatial_branch(x, shift, scale, g, qkv_w, out_w, out_b,
-                                    rope_freqs, num_heads)
+        return branch_fwd(x, shift, scale, g, qkv_w, out_w, out_b,
+                          rope_freqs, False)
 
     def fwd(x, shift, scale, g, qkv_w, out_w, out_b, rope_freqs):
-        out, qr, kr, vr, y = fused_spatial_branch(
-            x, shift, scale, g, qkv_w, out_w, out_b, rope_freqs, num_heads,
-            emit_train=True,
-        )
+        out, qr, kr, vr, y = branch_fwd(
+            x, shift, scale, g, qkv_w, out_w, out_b, rope_freqs, True)
         return out, (x, shift, scale, g, qkv_w, out_w, out_b, rope_freqs,
                      qr, kr, vr, y)
 
@@ -268,9 +308,30 @@ def trainable_spatial_branch(num_heads: int, dtype_name: str):
 
 @functools.lru_cache(maxsize=None)
 def trainable_temporal_branch(num_heads: int, n_frames: int, has_valid: bool,
-                              dtype_name: str):
+                              dtype_name: str, quant: bool = False):
     dtype = jnp.dtype(dtype_name)
     from gtax.kernels.block import fused_temporal_branch
+
+    if quant:
+        # int8-forward training; see trainable_spatial_branch
+        from gtax.kernels.quant import (
+            fused_temporal_branch_q,
+            quantize_weight,
+        )
+
+        def branch_fwd(x, shift, scale, g, qkv_w, out_w, out_b, rope_freqs,
+                       valid, emit):
+            qkv_q, qkv_s = quantize_weight(qkv_w)
+            out_q, out_s = quantize_weight(out_w)
+            return fused_temporal_branch_q(
+                x, shift, scale, g, qkv_q, qkv_s, out_q, out_s, out_b,
+                rope_freqs, valid, num_heads, n_frames, emit_train=emit)
+    else:
+        def branch_fwd(x, shift, scale, g, qkv_w, out_w, out_b, rope_freqs,
+                       valid, emit):
+            return fused_temporal_branch(
+                x, shift, scale, g, qkv_w, out_w, out_b, rope_freqs, valid,
+                num_heads, n_frames, emit_train=emit)
 
     def bwd_core(res, ct, valid):
         (x, shift, scale, g, qkv_w, out_w, out_b, rope_freqs,
@@ -348,15 +409,13 @@ def trainable_temporal_branch(num_heads: int, n_frames: int, has_valid: bool,
     if has_valid:
         @jax.custom_vjp
         def f(x, shift, scale, g, qkv_w, out_w, out_b, rope_freqs, valid):
-            return fused_temporal_branch(x, shift, scale, g, qkv_w, out_w,
-                                         out_b, rope_freqs, valid, num_heads,
-                                         n_frames)
+            return branch_fwd(x, shift, scale, g, qkv_w, out_w, out_b,
+                              rope_freqs, valid, False)
 
         def fwd(x, shift, scale, g, qkv_w, out_w, out_b, rope_freqs, valid):
-            out, qr, kr, vr, y = fused_temporal_branch(
+            out, qr, kr, vr, y = branch_fwd(
                 x, shift, scale, g, qkv_w, out_w, out_b, rope_freqs, valid,
-                num_heads, n_frames, emit_train=True,
-            )
+                True)
             return out, ((x, shift, scale, g, qkv_w, out_w, out_b,
                           rope_freqs, qr, kr, vr, y), valid)
 
@@ -368,15 +427,13 @@ def trainable_temporal_branch(num_heads: int, n_frames: int, has_valid: bool,
     else:
         @jax.custom_vjp
         def f(x, shift, scale, g, qkv_w, out_w, out_b, rope_freqs):
-            return fused_temporal_branch(x, shift, scale, g, qkv_w, out_w,
-                                         out_b, rope_freqs, None, num_heads,
-                                         n_frames)
+            return branch_fwd(x, shift, scale, g, qkv_w, out_w, out_b,
+                              rope_freqs, None, False)
 
         def fwd(x, shift, scale, g, qkv_w, out_w, out_b, rope_freqs):
-            out, qr, kr, vr, y = fused_temporal_branch(
+            out, qr, kr, vr, y = branch_fwd(
                 x, shift, scale, g, qkv_w, out_w, out_b, rope_freqs, None,
-                num_heads, n_frames, emit_train=True,
-            )
+                True)
             return out, (x, shift, scale, g, qkv_w, out_w, out_b,
                          rope_freqs, qr, kr, vr, y)
 
@@ -388,17 +445,30 @@ def trainable_temporal_branch(num_heads: int, n_frames: int, has_valid: bool,
 
 
 @functools.lru_cache(maxsize=None)
-def trainable_mlp_branch(dtype_name: str):
+def trainable_mlp_branch(dtype_name: str, quant: bool = False):
     dtype = jnp.dtype(dtype_name)
     from gtax.kernels.block import fused_mlp_branch
 
+    if quant:
+        # int8-forward training; see trainable_spatial_branch
+        from gtax.kernels.quant import fused_mlp_branch_q, quantize_weight
+
+        def branch_fwd(x, shift, scale, g, w1, b1, w2, b2, emit):
+            w1_q, w1_s = quantize_weight(w1)
+            w2_q, w2_s = quantize_weight(w2)
+            return fused_mlp_branch_q(x, shift, scale, g, w1_q, w1_s, b1,
+                                      w2_q, w2_s, b2, emit_train=emit)
+    else:
+        def branch_fwd(x, shift, scale, g, w1, b1, w2, b2, emit):
+            return fused_mlp_branch(x, shift, scale, g, w1, b1, w2, b2,
+                                    emit_train=emit)
+
     @jax.custom_vjp
     def f(x, shift, scale, g, w1, b1, w2, b2):
-        return fused_mlp_branch(x, shift, scale, g, w1, b1, w2, b2)
+        return branch_fwd(x, shift, scale, g, w1, b1, w2, b2, False)
 
     def fwd(x, shift, scale, g, w1, b1, w2, b2):
-        out, h1, y = fused_mlp_branch(x, shift, scale, g, w1, b1, w2, b2,
-                                      emit_train=True)
+        out, h1, y = branch_fwd(x, shift, scale, g, w1, b1, w2, b2, True)
         return out, (x, shift, scale, g, w1, b1, w2, b2, h1, y)
 
     def bwd(res, ct):

@@ -51,6 +51,8 @@ class TrainingConfig:
     mesh_data: int = -1                  # -1: all devices on the data axis
     mesh_model: int = 1                  # >1 enables tensor parallelism
     attention_backend: str = "xla"       # xla | pallas | fused (inference)
+    int8_forward: bool = False           # W8A8 train-forward GEMMs (needs a
+    #                                      fused backend; bf16 backward)
     remat: bool = False                  # jax.checkpoint the DiT blocks
     mu_bf16: bool = False                # Adam first moment in bfloat16
     profile_dir: Optional[str] = None    # jax.profiler trace output

@@ -117,6 +117,12 @@ class Trainer:
         self.config = config
         self.compute_dtype = jnp.dtype(config.compute_dtype)
         attention_mod.set_backend(config.attention_backend)
+        if config.int8_forward:
+            from gtax.nn import branches
+
+            assert config.attention_backend in ("fused", "fused_all"), (
+                "int8_forward runs through the fused trainable kernels")
+            branches.set_int8_fwd(True)
 
         self.mesh = mesh or meshlib.make_mesh(
             meshlib.MeshConfig(data=config.mesh_data, model=config.mesh_model)

@@ -70,6 +70,9 @@ def main():
     p.add_argument("--fwd-only", action="store_true",
                    help="time the loss forward alone (no grad/optimizer) — "
                         "diagnostic for attributing step time to fwd vs bwd")
+    p.add_argument("--int8-fwd", action="store_true",
+                   help="W8A8 train-forward GEMMs (fused backends only); "
+                        "backward stays bf16 over the int8 residuals")
     p.add_argument("--profile", default=None)
     args = p.parse_args()
 
@@ -87,6 +90,11 @@ def main():
     from gtax.models.dit import unstack_for_inference
 
     attention_mod.set_backend(args.backend)
+    if args.int8_fwd:
+        from gtax.nn import branches
+
+        assert args.backend in ("fused", "fused_all")
+        branches.set_int8_fwd(True)
     cfg = DiTConfig(hidden_size=args.hidden, depth=args.depth,
                     num_heads=args.heads, block_remat=args.remat,
                     remat_policy=args.remat_policy,
@@ -215,6 +223,7 @@ def main():
         "remat": args.remat,
         "backend": args.backend,
         "mu_bf16": args.mu_bf16,
+        "int8_fwd": args.int8_fwd,
         "device": jax.devices()[0].device_kind,
         "step_ms": round(mean_s * 1e3, 2),
         "flops_per_step": flops,

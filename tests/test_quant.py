@@ -286,3 +286,137 @@ def test_quantized_step_matches_full(random_dit_params, B, Tl):
     # counts (documented above); tolerance, not equality
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref[:, -Tl:]),
                                atol=2e-3, rtol=2e-3)
+
+
+# ---------------------------------------------------------------- int8 fwd
+# int8 TRAINING forward (gtax.nn.branches quant=True wrappers): the primal
+# runs the W8A8 kernels, the backward is the unchanged bf16 residual path
+# over the int8 forward's actual residuals (straight-through estimator).
+
+
+def test_int8_fwd_trainable_matches_serving_kernel(branch_inputs):
+    """The quant=True trainable wrapper's primal must equal the serving int8
+    kernel bit-exactly (same kernel, weights quantized inside the wrapper),
+    and the custom_vjp fwd (emit_train) output must equal the primal."""
+    from gtax.kernels.quant import fused_spatial_branch_q
+    from gtax.nn.branches import trainable_spatial_branch
+
+    x, shift, scale, g, qkv_w, out_w, out_b = branch_inputs
+    N, S, D = x.shape
+    num_heads = 2
+    freqs = jax.random.normal(jax.random.PRNGKey(9), (S, D // num_heads))
+    qkv_q, qkv_s = quantize_weight(qkv_w)
+    out_q, out_s = quantize_weight(out_w)
+    serving = fused_spatial_branch_q(x, shift, scale, g, qkv_q, qkv_s,
+                                     out_q, out_s, out_b, freqs, num_heads)
+    f = trainable_spatial_branch(num_heads, "float32", quant=True)
+    primal = f(x, shift, scale, g, qkv_w, out_w, out_b, freqs)
+    np.testing.assert_array_equal(np.asarray(primal), np.asarray(serving))
+    # under differentiation the emit_train path runs; outputs must agree
+    out_vjp, _ = jax.vjp(f, x, shift, scale, g, qkv_w, out_w, out_b, freqs)
+    np.testing.assert_array_equal(np.asarray(out_vjp), np.asarray(serving))
+
+
+def test_int8_fwd_emit_residuals_match_nonemit():
+    """emit_train=True must not change the branch outputs of any of the
+    three int8 kernels (the residual writes are pure additions)."""
+    from gtax.kernels.quant import (
+        fused_mlp_branch_q,
+        fused_spatial_branch_q,
+        fused_temporal_branch_q,
+    )
+
+    key = jax.random.PRNGKey(5)
+    N, S, D = 5, 48, 64
+    H, num_heads = 4 * D, 2
+    ks = jax.random.split(key, 12)
+    x = jax.random.normal(ks[0], (N, S, D))
+    shift = jax.random.normal(ks[1], (N, D)) * 0.1
+    scale = jax.random.normal(ks[2], (N, D)) * 0.1
+    g = jax.random.normal(ks[3], (N, D)) * 0.5
+    qkv_q, qkv_s = quantize_weight(
+        jax.random.normal(ks[4], (D, 3 * D)) * 0.05)
+    out_q, out_s = quantize_weight(jax.random.normal(ks[5], (D, D)) * 0.05)
+    out_b = jax.random.normal(ks[6], (D,)) * 0.01
+    w1_q, w1_s = quantize_weight(jax.random.normal(ks[7], (D, H)) * 0.05)
+    b1 = jax.random.normal(ks[8], (H,)) * 0.01
+    w2_q, w2_s = quantize_weight(jax.random.normal(ks[9], (H, D)) * 0.05)
+    b2 = jax.random.normal(ks[10], (D,)) * 0.01
+    freqs_s = jax.random.normal(ks[11], (S, D // num_heads))
+    freqs_t = jax.random.normal(ks[11], (N, D // num_heads))
+
+    o0 = fused_spatial_branch_q(x, shift, scale, g, qkv_q, qkv_s, out_q,
+                                out_s, out_b, freqs_s, num_heads)
+    o1, q, k, v, y = fused_spatial_branch_q(
+        x, shift, scale, g, qkv_q, qkv_s, out_q, out_s, out_b, freqs_s,
+        num_heads, emit_train=True)
+    np.testing.assert_array_equal(np.asarray(o0), np.asarray(o1))
+    for r in (q, k, v, y):
+        assert r.shape == x.shape and np.isfinite(np.asarray(r)).all()
+
+    o0 = fused_temporal_branch_q(x, shift, scale, g, qkv_q, qkv_s, out_q,
+                                 out_s, out_b, freqs_t, None, num_heads, N)
+    o1, q, k, v, y = fused_temporal_branch_q(
+        x, shift, scale, g, qkv_q, qkv_s, out_q, out_s, out_b, freqs_t,
+        None, num_heads, N, emit_train=True)
+    np.testing.assert_array_equal(np.asarray(o0), np.asarray(o1))
+
+    o0 = fused_mlp_branch_q(x, shift, scale, g, w1_q, w1_s, b1, w2_q, w2_s,
+                            b2)
+    o1, h1, y = fused_mlp_branch_q(x, shift, scale, g, w1_q, w1_s, b1,
+                                   w2_q, w2_s, b2, emit_train=True)
+    np.testing.assert_array_equal(np.asarray(o0), np.asarray(o1))
+    assert h1.shape == (N, S, H) and np.isfinite(np.asarray(h1)).all()
+    assert y.shape == x.shape
+
+
+def test_int8_fwd_gradients_close_to_bf16_path():
+    """Gradients through the quant=True wrappers must stay within
+    quantization-level distance of the exact fused path's gradients for
+    every differentiable argument, for all three branches."""
+    from gtax.nn import branches as br
+
+    N, S, D, H, heads = 5, 16, 64, 256, 4
+    T = N
+    ks = jax.random.split(jax.random.PRNGKey(0), 12)
+    f32 = jnp.float32
+    x = jax.random.normal(ks[0], (N, S, D), f32)
+    sh = jax.random.normal(ks[1], (N, D), f32) * 0.1
+    sc = jax.random.normal(ks[2], (N, D), f32) * 0.1
+    g = jax.random.normal(ks[3], (N, D), f32) * 0.5
+    qkv_w = jax.random.normal(ks[4], (D, 3 * D), f32) * 0.05
+    out_w = jax.random.normal(ks[5], (D, D), f32) * 0.05
+    out_b = jax.random.normal(ks[6], (D,), f32) * 0.01
+    w1 = jax.random.normal(ks[7], (D, H), f32) * 0.05
+    b1 = jax.random.normal(ks[8], (H,), f32) * 0.01
+    w2 = jax.random.normal(ks[9], (H, D), f32) * 0.05
+    b2 = jax.random.normal(ks[10], (D,), f32) * 0.01
+    rope_s = jax.random.normal(ks[11], (S, D // heads), f32)
+    rope_t = jax.random.normal(ks[11], (T, D // heads), f32)
+    ct_like = jax.random.normal(ks[0], (N, S, D), f32)
+
+    def check(name, fq, fb, args, skip=()):
+        idx = tuple(i for i in range(len(args)) if i not in skip)
+        gq = jax.grad(lambda *a: jnp.sum(fq(*a) * ct_like),
+                      argnums=idx)(*args)
+        gb = jax.grad(lambda *a: jnp.sum(fb(*a) * ct_like),
+                      argnums=idx)(*args)
+        for i, (a, b) in zip(idx, zip(gq, gb)):
+            assert np.isfinite(np.asarray(a)).all(), f"{name} arg {i}"
+            scale = max(1e-8, float(jnp.abs(b).max()))
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-2 * scale,
+                err_msg=f"{name} arg {i}")
+
+    check("mlp", br.trainable_mlp_branch("float32", quant=True),
+          br.trainable_mlp_branch("float32"),
+          (x, sh, sc, g, w1, b1, w2, b2))
+    check("spatial",
+          br.trainable_spatial_branch(heads, "float32", quant=True),
+          br.trainable_spatial_branch(heads, "float32"),
+          (x, sh, sc, g, qkv_w, out_w, out_b, rope_s), skip=(7,))
+    check("temporal",
+          br.trainable_temporal_branch(heads, T, False, "float32",
+                                       quant=True),
+          br.trainable_temporal_branch(heads, T, False, "float32"),
+          (x, sh, sc, g, qkv_w, out_w, out_b, rope_t), skip=(7,))
