@@ -89,8 +89,11 @@ class LatentCacheDataset:
             sample_iter = (dataset[i] for i in range(n))
         else:
             sample_iter = itertools.islice(iter(dataset), n)
+        # params must be an ARGUMENT, not a closure capture: closed-over
+        # arrays embed as constants in the compiled program (~1 GB of VAE
+        # weights in the HLO — rejected outright by remote-compile setups)
         encode = jax.jit(
-            lambda v: encode_frames(vae_params, vae_cfg, v, compute_dtype))
+            lambda p, v: encode_frames(p, vae_cfg, v, compute_dtype))
 
         lat_path = os.path.join(cache_dir, "latents.npy")
         act_path = os.path.join(cache_dir, "actions.npy")
@@ -105,9 +108,15 @@ class LatentCacheDataset:
             if not samples:  # stream ended early (non-resampled short split)
                 break
             hi = done + len(samples)
-            video = np.stack(
-                [np.asarray(s["video"], np.float32) for s in samples])
-            lat = np.asarray(encode(jnp.asarray(video)), dtype)
+            if "video_u8" in samples[0]:
+                # pixel_u8 fast-path samples (webtar default): uint8
+                # channel-last; encode_frames converts on device
+                video = np.stack([np.asarray(s["video_u8"])
+                                  for s in samples])
+            else:
+                video = np.stack(
+                    [np.asarray(s["video"], np.float32) for s in samples])
+            lat = np.asarray(encode(vae_params, jnp.asarray(video)), dtype)
             if lat_out is None:
                 lat_out = np.lib.format.open_memmap(
                     lat_path, mode="w+", dtype=dtype,

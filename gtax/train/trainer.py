@@ -240,6 +240,8 @@ class Trainer:
         ) * max(1, 5 - config.n_prompt_frames)
         self.mfu = MFUCounter(flops, self.n_devices)
         self.timer = StepTimer()
+        self._inflight = None  # (device metrics, entry time, lr) of the
+        #                        last dispatched step (deferred fetch)
 
     # ------------------------------------------------------------ setup
 
@@ -373,9 +375,17 @@ class Trainer:
             # replayed epoch must reshuffle with the SAME per-epoch seed the
             # interrupted run used, or skip_batches skips the wrong samples
             train_loader.set_epoch(self.start_epoch)
+        prof_until = None
+        if cfg.profile_dir:
+            # trace a short window of REAL steps (input pipeline included)
+            # once the program is compiled: steps 3..13 after (re)start
+            prof_until = self.global_step + 13
         for epoch in range(self.start_epoch, cfg.num_epochs):
             for batch in self.iter_device_batches(train_loader):
                 if cfg.max_steps > 0 and self.global_step >= cfg.max_steps:
+                    tail = self.flush_metrics()
+                    if tail is not None:
+                        self.log_metrics(tail, epoch)
                     logger.info("Reached max_steps=%d", cfg.max_steps)
                     return
                 if step_in_epoch_skip > 0:
@@ -383,25 +393,46 @@ class Trainer:
                     continue
                 if self.global_step == 0:
                     self._step0_diagnostics(batch)
+                if prof_until is not None and self.global_step == prof_until - 10:
+                    jax.profiler.start_trace(cfg.profile_dir)
+                # train_step returns the metrics of the PREVIOUSLY
+                # dispatched step (deferred fetch; see its docstring)
+                prev_label = self.global_step
                 metrics = self.train_step(batch)
                 self.global_step += 1
-                if self.global_step % cfg.logging_steps == 0:
-                    self.log_metrics(metrics, epoch)
-                if (
-                    self.global_step > 0
-                    and cfg.validation_steps > 0
+                if prof_until is not None and self.global_step >= prof_until:
+                    jax.profiler.stop_trace()
+                    logger.info("wrote profiler trace to %s", cfg.profile_dir)
+                    prof_until = None
+                if metrics is not None and prev_label % cfg.logging_steps == 0:
+                    self.log_metrics(metrics, epoch, step=prev_label)
+                want_val = (
+                    cfg.validation_steps > 0
                     and self.global_step % cfg.validation_steps == 0
-                ):
-                    self.run_validation(val_loader)
-                if (
-                    self.global_step > 0
-                    and cfg.save_every > 0
+                )
+                want_save = (
+                    cfg.save_every > 0
                     and self.global_step % cfg.save_every == 0
-                ):
+                )
+                if want_val or want_save:
+                    # sync the in-flight step so records stay ordered and
+                    # the checkpoint state is final
+                    tail = self.flush_metrics()
+                    if tail is not None and (
+                            self.global_step % cfg.logging_steps == 0):
+                        self.log_metrics(tail, epoch)
+                if want_val:
+                    self.run_validation(val_loader)
+                if want_save:
                     self.save_model(epoch)
                     self.save_checkpoint(epoch)
-                for cb in callbacks:
-                    cb(self, metrics)
+                if metrics is not None:
+                    for cb in callbacks:
+                        cb(self, metrics)
+            # epoch boundary: sync so the last step's record lands in-epoch
+            tail = self.flush_metrics()
+            if tail is not None and self.global_step % cfg.logging_steps == 0:
+                self.log_metrics(tail, epoch)
             self.start_epoch = epoch + 1
 
     def iter_device_batches(self, loader):
@@ -429,18 +460,69 @@ class Trainer:
         return device_prefetch(regroup(), sharding=micro_sharding)
 
     def train_step(self, batch: Batch):
-        self.timer.start()
+        """Dispatch one jitted train step; return the PREVIOUS dispatched
+        step's metrics (None on the first call).
+
+        The fetch is deferred one step so the loop never drains the device
+        pipeline: while step N executes, the host fetches step N-1's
+        (already materialised) scalars, decodes batch N+1 and dispatches it.
+        A synchronous per-step float() fetch instead serialises
+        put -> execute -> round-trip every step — measured 0.885 s/step vs
+        0.249 s of device self-time on the tunneled v5e (docs/PERF.md
+        round-5 training; on direct-attached hosts the gap is the ~ms
+        dispatch latency, and the deferral is still free).
+
+        step_time_s is therefore WALL time between dispatches — it includes
+        the input pipeline, which is what sustained-throughput accounting
+        wants (scripts/train_soak.py)."""
+        entry = time.perf_counter()
+        # materialize the PREVIOUS step's metrics BEFORE dispatching the new
+        # one: the device finished it while this batch was being prepared, so
+        # the read costs one round trip. Reading AFTER the dispatch queues
+        # the read behind the new execution on serialized transports (the
+        # remote tunnel) and re-serializes the loop (measured 680 ms vs
+        # 25 ms on the tunneled v5e).
+        prev = self._inflight
+        out = None if prev is None else self._materialize(prev, entry)
+        t_fetch = time.perf_counter()
         self.rng, key = jax.random.split(self.rng)
+        t_split = time.perf_counter()
         self.dit_params, self.opt_state, metrics = self._train_step(
             self.dit_params, self.opt_state, self.vae_params, batch.video,
             batch.actions, key, pre_encoded=batch.is_latents,
         )
-        metrics = {k: float(v) for k, v in metrics.items()}
-        dt = self.timer.stop()
-        metrics["step_time_s"] = dt
-        metrics["mfu"] = self.mfu.mfu(dt)
-        metrics["learning_rate"] = float(self.lr_schedule(self.global_step))
-        return metrics
+        t_disp = time.perf_counter()
+        self._inflight = (metrics, entry, self.lr_schedule(self.global_step))
+        if os.environ.get("GTAX_STEP_TRACE") == "1":
+            logger.info(
+                "step-trace: fetch=%.1fms split=%.1fms dispatch=%.1fms",
+                1e3 * (t_fetch - entry), 1e3 * (t_split - t_fetch),
+                1e3 * (t_disp - t_split))
+        return out
+
+    def train_step_sync(self, batch: Batch):
+        """train_step + flush: returns the JUST-dispatched step's metrics
+        synchronously (tests / interactive probes; production loops use the
+        deferred train_step/flush_metrics pair)."""
+        self.train_step(batch)
+        return self.flush_metrics()
+
+    def flush_metrics(self):
+        """Block on the in-flight step and return its metrics (or None).
+        Called before validation/checkpointing so records stay ordered."""
+        prev, self._inflight = self._inflight, None
+        if prev is None:
+            return None
+        return self._materialize(prev, time.perf_counter())
+
+    def _materialize(self, inflight, now):
+        metrics, entry, lr = inflight
+        out = {k: float(v) for k, v in metrics.items()}
+        dt = now - entry
+        out["step_time_s"] = dt
+        out["mfu"] = self.mfu.mfu(dt)
+        out["learning_rate"] = float(lr)
+        return out
 
     def _step0_diagnostics(self, batch: Batch):
         """First-step sanity dump (reference train_dit.py:652-674, 686-699):
@@ -796,15 +878,18 @@ class Trainer:
             run = wandb.run
         self.wandb_run_id = run.id
 
-    def log_metrics(self, metrics: dict, epoch: int):
+    def log_metrics(self, metrics: dict, epoch: int, step: int | None = None):
         # wall_time: consecutive-record deltas measure TRUE sustained step
-        # time including the input pipeline (step_time_s times only the
-        # jitted step) — the number scripts/train_soak.py certifies
-        record = {"step": self.global_step, "epoch": epoch,
+        # time including the input pipeline (step_time_s is the
+        # dispatch-to-dispatch wall of the deferred-fetch pipeline) — the
+        # number scripts/train_soak.py certifies. `step` labels deferred
+        # train records with the step they describe.
+        step = self.global_step if step is None else step
+        record = {"step": step, "epoch": epoch,
                   "wall_time": round(time.time(), 3), **metrics}
         logger.info(
             "step %d | %s",
-            self.global_step,
+            step,
             " ".join(f"{k}={v:.5g}" for k, v in metrics.items()
                      if isinstance(v, (int, float))),
         )

@@ -65,6 +65,14 @@ def make_clips():
 
 
 def main(steps=400):
+    # GTAX_PROBE_BACKEND=fused_all (+ GTAX_INT8_FWD=1) re-runs the probe on
+    # the fused trainable kernels / the int8 training forward — the
+    # end-to-end loss-trajectory + causality gate for those paths
+    backend = os.environ.get("GTAX_PROBE_BACKEND")
+    if backend:
+        from gtax.nn import attention as attention_mod
+
+        attention_mod.set_backend(backend)
     key = jax.random.PRNGKey(0)
     dit_params = jax.jit(lambda k: dit_init(k, DIT))(key)
     vae_params = jax.jit(lambda k: vae_init(k, VAE))(jax.random.PRNGKey(1))

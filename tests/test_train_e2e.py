@@ -84,7 +84,8 @@ def test_train_loss_decreases(tmp_path):
     for step in range(6):
         video = np.stack([b.video])  # leading accumulation dim
         actions = np.stack([b.actions])
-        metrics = trainer.train_step(Batch(video=video, actions=actions))
+        metrics = trainer.train_step_sync(
+            Batch(video=video, actions=actions))
         losses.append(metrics["train_loss"])
     assert np.isfinite(losses).all()
     # same constant batch: optimisation must reduce the loss
@@ -150,7 +151,7 @@ def test_data_parallel_step_multi_device(tmp_path):
         video=jax.device_put(video, sharding),
         actions=jax.device_put(actions, sharding),
     )
-    metrics = trainer.train_step(batch)
+    metrics = trainer.train_step_sync(batch)
     assert np.isfinite(metrics["train_loss"])
 
 
@@ -183,7 +184,7 @@ def test_tensor_parallel_mesh(tmp_path):
     from gtax.data.loader import Batch
 
     batch = Batch(video=np.stack([b.video]), actions=np.stack([b.actions]))
-    metrics = trainer.train_step(batch)
+    metrics = trainer.train_step_sync(batch)
     assert np.isfinite(metrics["train_loss"])
 
 
@@ -411,6 +412,7 @@ def test_unstack_train_matches_stacked(tmp_path):
     def run(unstack):
         trainer, _ = tiny_trainer(tmp_path / f"u{int(unstack)}",
                                   unstack_train=unstack)
-        return [trainer.train_step(batch)["train_loss"] for _ in range(3)]
+        return [trainer.train_step_sync(batch)["train_loss"]
+                for _ in range(3)]
 
     np.testing.assert_allclose(run(True), run(False), rtol=1e-6)
