@@ -29,6 +29,11 @@ def main(argv=None):
                         help="local shard dir for the webdataset backend")
     parser.add_argument("--dummy_size", type=int, default=None,
                         help="override the dummy dataset length (smoke runs)")
+    parser.add_argument("--dataset_size", type=int, default=None,
+                        help="true sample count of --dataset_root shards "
+                             "(sets the LR schedule's steps/epoch and the "
+                             "latent-cache build size; without it the tar "
+                             "streamer estimates ~1000/shard)")
     parser.add_argument("--latent_cache", type=str, default=None,
                         help="directory of precomputed VAE latents for the "
                              "TRAIN split (gtax.data.latents). Built on "
@@ -84,6 +89,8 @@ def main(argv=None):
             dataset_kw["val_shards"] = dataset_kw["shards"]
     if args.dummy_size is not None and config.dataset_type == "dummy":
         dataset_kw["size"] = args.dummy_size
+    if args.dataset_size is not None and config.dataset_type == "webdataset":
+        dataset_kw["size"] = args.dataset_size
 
     train_loader, val_loader = build_loaders(config, **dataset_kw)
     trainer = Trainer(config, total_dataset_size=len(train_loader.dataset))

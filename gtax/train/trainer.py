@@ -383,9 +383,7 @@ class Trainer:
         for epoch in range(self.start_epoch, cfg.num_epochs):
             for batch in self.iter_device_batches(train_loader):
                 if cfg.max_steps > 0 and self.global_step >= cfg.max_steps:
-                    tail = self.flush_metrics()
-                    if tail is not None:
-                        self.log_metrics(tail, epoch)
+                    self._flush_and_log(epoch, callbacks, always_log=True)
                     logger.info("Reached max_steps=%d", cfg.max_steps)
                     return
                 if step_in_epoch_skip > 0:
@@ -417,10 +415,7 @@ class Trainer:
                 if want_val or want_save:
                     # sync the in-flight step so records stay ordered and
                     # the checkpoint state is final
-                    tail = self.flush_metrics()
-                    if tail is not None and (
-                            self.global_step % cfg.logging_steps == 0):
-                        self.log_metrics(tail, epoch)
+                    self._flush_and_log(epoch, callbacks)
                 if want_val:
                     self.run_validation(val_loader)
                 if want_save:
@@ -430,9 +425,7 @@ class Trainer:
                     for cb in callbacks:
                         cb(self, metrics)
             # epoch boundary: sync so the last step's record lands in-epoch
-            tail = self.flush_metrics()
-            if tail is not None and self.global_step % cfg.logging_steps == 0:
-                self.log_metrics(tail, epoch)
+            self._flush_and_log(epoch, callbacks)
             self.start_epoch = epoch + 1
 
     def iter_device_batches(self, loader):
@@ -499,6 +492,19 @@ class Trainer:
                 1e3 * (t_fetch - entry), 1e3 * (t_split - t_fetch),
                 1e3 * (t_disp - t_split))
         return out
+
+    def _flush_and_log(self, epoch, callbacks, always_log=False):
+        """Flush the in-flight step and deliver its record/callbacks — every
+        dispatched step reaches log gating and callbacks exactly once,
+        whether through the next iteration's deferred return or a flush."""
+        tail = self.flush_metrics()
+        if tail is None:
+            return None
+        if always_log or self.global_step % self.config.logging_steps == 0:
+            self.log_metrics(tail, epoch)
+        for cb in callbacks or []:
+            cb(self, tail)
+        return tail
 
     def train_step_sync(self, batch: Batch):
         """train_step + flush: returns the JUST-dispatched step's metrics

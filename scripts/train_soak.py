@@ -193,7 +193,8 @@ def main():
         f.write(cfg_text)
 
     cmd = [sys.executable, "-m", "gtax.cli.train", cfg_path,
-           "--dataset_root", args.shard_dir]
+           "--dataset_root", args.shard_dir,
+           "--dataset_size", str(args.n_shards * args.per_shard)]
     if args.latent_cache:
         cmd += ["--latent_cache", args.latent_cache]
     env_note = ""
