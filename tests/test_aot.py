@@ -152,3 +152,24 @@ def test_aot_config_semantics_keyed(tmp_path):
     assert len(_events(g5, "load")) == 0
     assert len(list(tmp_path.glob("*.aotx"))) == n_after_3 + 3
     np.testing.assert_array_equal(out, want)
+
+
+def test_prewarm_executes_loaded_runners(tmp_path):
+    """prewarm() must build + execute the encode/rollout/decode runners in
+    the background and record prewarm_start/prewarm_done events — the
+    cold-start overlap used by the generate CLI (--no_prewarm disables)."""
+    cfg = dataclasses.replace(CFG, aot_dir=str(tmp_path))
+    g1 = VideoGenerator.load("", "", cfg)
+    g1.generate(_prompt(g1), num_frames=4, seed=3)  # populate the cache
+
+    g2 = VideoGenerator.load("", "", cfg)
+    t = g2.prewarm(num_frames=4, batch_size=1)
+    assert len(_events(g2, "prewarm_start")) == 1
+    t.join(timeout=300)
+    assert not t.is_alive()
+    assert len(_events(g2, "prewarm_done")) == 1, g2._aot.events
+    assert not _events(g2, "prewarm_failed")
+    # the real call after prewarm stays bit-identical to the cold path
+    np.testing.assert_array_equal(
+        np.asarray(g2.generate(_prompt(g2), num_frames=4, seed=3)),
+        np.asarray(g1.generate(_prompt(g1), num_frames=4, seed=3)))
