@@ -252,7 +252,12 @@ class WebTarDataset:
             return self._make_item_raw(raw)
 
         for raw in raw_iter:
-            futs.append(pool.submit(work, raw))
+            try:
+                futs.append(pool.submit(work, raw))
+            except RuntimeError:
+                # interpreter (or pool) shutting down mid-stream — end the
+                # stream quietly instead of spamming per-shard warnings
+                return
             if len(futs) > 2 * self.decode_workers:
                 yield futs.popleft().result()
         while futs:
