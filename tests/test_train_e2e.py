@@ -416,3 +416,42 @@ def test_unstack_train_matches_stacked(tmp_path):
                 for _ in range(3)]
 
     np.testing.assert_allclose(run(True), run(False), rtol=1e-6)
+
+
+def test_deferred_metrics_records_every_step_once(tmp_path):
+    """The pipelined metrics path (train_step returns the PREVIOUS step's
+    metrics; flush at validation/save/epoch/max_steps boundaries) must
+    deliver exactly one correctly-labeled record and one callback per
+    dispatched step — no gaps, no duplicates, no off-by-one."""
+    import json as _json
+
+    from gtax.parallel import mesh as meshlib
+
+    config = TrainingConfig.from_dict(dict(
+        dataset_type="dummy", batch_size=2, validation_batch_size=2,
+        num_epochs=3, max_steps=5, gradient_accumulation_steps=1,
+        ddim_noise_steps=8, ddim_noise_steps_inference=4,
+        ctx_max_noise_idx=3, n_prompt_frames=4, use_wandb=False,
+        use_action_conditioning=True, learning_rate=1e-3,
+        output_dir=str(tmp_path), compute_dtype="float32",
+        validation_steps=0, save_every=2, logging_steps=1))
+    key = jax.random.PRNGKey(0)
+    trainer = Trainer(
+        config, total_dataset_size=64, dit_cfg=TINY_DIT, vae_cfg=TINY_VAE,
+        dit_params=dit_init(key, TINY_DIT),
+        vae_params=vae_init(key, TINY_VAE),
+        mesh=meshlib.make_mesh(meshlib.MeshConfig(data=1, model=1),
+                               devices=jax.devices()[:1]))
+    ds = DummyDataset("train", return_actions=True,
+                      height=FRAME_HW[0], width=FRAME_HW[1], size=8)
+    loader = DataLoader(ds, batch_size=2, num_workers=1, seed=0)
+    seen = []
+    trainer.training_loop(loader, val_loader=None,
+                          callbacks=[lambda tr, m: seen.append(m)])
+    assert trainer.global_step == 5
+    assert len(seen) == 5, len(seen)
+    path = tmp_path / f"{config.model_name}_metrics.jsonl"
+    recs = [_json.loads(l) for l in open(path)]
+    steps = [r["step"] for r in recs if "train_loss" in r]
+    assert steps == [1, 2, 3, 4, 5], steps
+    assert all("step_time_s" in r for r in recs if "train_loss" in r)
