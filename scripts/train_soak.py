@@ -135,9 +135,12 @@ def analyze(recs, boundary_step):
             "p90": round(float(np.percentile(deltas[keep], 90)), 4),
             "mean": round(float(deltas[keep].mean()), 4),
         },
-        "device_step_s_median": round(float(np.nanmedian(dev)), 4),
-        "input_pipeline_overhead_s": round(
-            med - float(np.nanmedian(dev)), 4),
+        # step_time_s is dispatch-to-dispatch wall since the round-5
+        # deferred-fetch loop (input pipeline INCLUDED); record-delta minus
+        # it is the residual host work outside train_step (logging, save
+        # triggers) — near zero when the loader keeps up
+        "dispatch_wall_s_median": round(float(np.nanmedian(dev)), 4),
+        "non_step_host_s": round(med - float(np.nanmedian(dev)), 4),
         "sustained_steps_per_s": round(1.0 / med, 3),
         "excluded_stall_records": int((~keep).sum()),
     }
